@@ -1,0 +1,589 @@
+// audioio: minimal native audio I/O runtime for the TPU audio-restoration framework.
+//
+// Provides WAV (PCM 8/16/24/32, IEEE float32/64) reading, WAV (float32/PCM16)
+// writing, and a self-contained FLAC decoder (constant / verbatim / fixed /
+// LPC subframes, rice & rice2 residuals, all stereo decorrelation modes).
+//
+// This replaces the reference's dependency on libsndfile (see
+// /root/reference/util/io_ops.py:7-23) with a first-party native component.
+// Exposed through a C ABI consumed via ctypes (see ../utils/audio_io.py).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Bit reader over an in-memory buffer (MSB-first, as FLAC requires).
+// ---------------------------------------------------------------------------
+struct BitReader {
+  const uint8_t* data;
+  size_t size;
+  size_t byte_pos = 0;
+  int bit_pos = 0;  // 0..7, bit index from MSB
+  bool error = false;
+
+  BitReader(const uint8_t* d, size_t n) : data(d), size(n) {}
+
+  bool eof() const { return byte_pos >= size; }
+
+  uint32_t read_bit() {
+    if (byte_pos >= size) {
+      error = true;
+      return 0;
+    }
+    uint32_t bit = (data[byte_pos] >> (7 - bit_pos)) & 1u;
+    if (++bit_pos == 8) {
+      bit_pos = 0;
+      ++byte_pos;
+    }
+    return bit;
+  }
+
+  uint64_t read_bits(int n) {
+    uint64_t v = 0;
+    // Fast path for byte-aligned multi-byte reads.
+    while (n >= 8 && bit_pos == 0 && byte_pos < size) {
+      v = (v << 8) | data[byte_pos++];
+      n -= 8;
+    }
+    for (int i = 0; i < n; ++i) v = (v << 1) | read_bit();
+    return v;
+  }
+
+  int64_t read_signed(int n) {
+    uint64_t v = read_bits(n);
+    // sign-extend
+    if (n > 0 && (v >> (n - 1)) & 1u) v |= (~0ULL) << n;
+    return (int64_t)v;
+  }
+
+  uint32_t read_unary() {
+    uint32_t q = 0;
+    // Consume zero bits until a one bit.
+    while (!error) {
+      if (bit_pos == 0) {
+        // whole-byte skip of zero bytes
+        while (byte_pos < size && data[byte_pos] == 0) {
+          q += 8;
+          ++byte_pos;
+        }
+      }
+      if (byte_pos >= size) {
+        error = true;
+        return q;
+      }
+      if (read_bit()) return q;
+      ++q;
+    }
+    return q;
+  }
+
+  void align_byte() {
+    if (bit_pos) {
+      bit_pos = 0;
+      ++byte_pos;
+    }
+  }
+};
+
+// UTF-8-style coded number used for FLAC frame headers (up to 36 bits).
+uint64_t read_utf8_coded(BitReader& br) {
+  uint32_t b0 = (uint32_t)br.read_bits(8);
+  int extra = 0;
+  uint64_t v = 0;
+  if ((b0 & 0x80u) == 0) {
+    return b0;
+  } else if ((b0 & 0xE0u) == 0xC0u) {
+    extra = 1;
+    v = b0 & 0x1Fu;
+  } else if ((b0 & 0xF0u) == 0xE0u) {
+    extra = 2;
+    v = b0 & 0x0Fu;
+  } else if ((b0 & 0xF8u) == 0xF0u) {
+    extra = 3;
+    v = b0 & 0x07u;
+  } else if ((b0 & 0xFCu) == 0xF8u) {
+    extra = 4;
+    v = b0 & 0x03u;
+  } else if ((b0 & 0xFEu) == 0xFCu) {
+    extra = 5;
+    v = b0 & 0x01u;
+  } else if (b0 == 0xFEu) {
+    extra = 6;
+    v = 0;
+  } else {
+    br.error = true;
+    return 0;
+  }
+  for (int i = 0; i < extra; ++i) {
+    uint32_t b = (uint32_t)br.read_bits(8);
+    if ((b & 0xC0u) != 0x80u) {
+      br.error = true;
+      return 0;
+    }
+    v = (v << 6) | (b & 0x3Fu);
+  }
+  return v;
+}
+
+struct AudioData {
+  std::vector<float> samples;  // interleaved, range [-1, 1]
+  int sample_rate = 0;
+  int channels = 0;
+  int64_t frames = 0;
+};
+
+// ---------------------------------------------------------------------------
+// FLAC decoding
+// ---------------------------------------------------------------------------
+struct FlacStreamInfo {
+  uint32_t min_block = 0, max_block = 0;
+  uint32_t sample_rate = 0;
+  uint32_t channels = 0;
+  uint32_t bits_per_sample = 0;
+  uint64_t total_samples = 0;
+};
+
+bool decode_flac_residual(BitReader& br, uint32_t block_size, int pred_order,
+                          int64_t* out) {
+  uint32_t method = (uint32_t)br.read_bits(2);
+  if (method > 1) return false;
+  int param_bits = method == 0 ? 4 : 5;
+  uint32_t escape = method == 0 ? 0xF : 0x1F;
+  uint32_t part_order = (uint32_t)br.read_bits(4);
+  uint32_t n_parts = 1u << part_order;
+  if (block_size % n_parts) return false;
+  uint32_t part_len = block_size >> part_order;
+  if (part_len <= (uint32_t)pred_order && n_parts == 1) return false;
+  uint32_t idx = 0;
+  for (uint32_t p = 0; p < n_parts; ++p) {
+    uint32_t count = part_len - (p == 0 ? pred_order : 0);
+    uint32_t param = (uint32_t)br.read_bits(param_bits);
+    if (param == escape) {
+      uint32_t raw_bits = (uint32_t)br.read_bits(5);
+      for (uint32_t i = 0; i < count; ++i)
+        out[idx++] = raw_bits ? br.read_signed((int)raw_bits) : 0;
+    } else {
+      for (uint32_t i = 0; i < count; ++i) {
+        uint32_t q = br.read_unary();
+        uint64_t r = br.read_bits((int)param);
+        uint64_t u = ((uint64_t)q << param) | r;
+        // zigzag decode
+        out[idx++] = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
+      }
+    }
+    if (br.error) return false;
+  }
+  return true;
+}
+
+bool decode_flac_subframe(BitReader& br, uint32_t block_size, int bps,
+                          std::vector<int64_t>& out) {
+  if (br.read_bit() != 0) return false;  // padding bit must be 0
+  uint32_t type = (uint32_t)br.read_bits(6);
+  uint32_t wasted = 0;
+  if (br.read_bit()) {
+    wasted = 1 + br.read_unary();
+    bps -= (int)wasted;
+  }
+  out.assign(block_size, 0);
+
+  if (type == 0) {  // CONSTANT
+    int64_t v = br.read_signed(bps);
+    for (uint32_t i = 0; i < block_size; ++i) out[i] = v;
+  } else if (type == 1) {  // VERBATIM
+    for (uint32_t i = 0; i < block_size; ++i) out[i] = br.read_signed(bps);
+  } else if (type >= 8 && type <= 12) {  // FIXED, order 0..4
+    int order = (int)(type & 7u);
+    for (int i = 0; i < order; ++i) out[i] = br.read_signed(bps);
+    if (!decode_flac_residual(br, block_size, order, out.data() + order))
+      return false;
+    // apply fixed predictors
+    switch (order) {
+      case 0:
+        break;
+      case 1:
+        for (uint32_t i = 1; i < block_size; ++i) out[i] += out[i - 1];
+        break;
+      case 2:
+        for (uint32_t i = 2; i < block_size; ++i)
+          out[i] += 2 * out[i - 1] - out[i - 2];
+        break;
+      case 3:
+        for (uint32_t i = 3; i < block_size; ++i)
+          out[i] += 3 * out[i - 1] - 3 * out[i - 2] + out[i - 3];
+        break;
+      case 4:
+        for (uint32_t i = 4; i < block_size; ++i)
+          out[i] += 4 * out[i - 1] - 6 * out[i - 2] + 4 * out[i - 3] - out[i - 4];
+        break;
+      default:
+        return false;
+    }
+  } else if (type >= 32) {  // LPC, order 1..32
+    int order = (int)(type & 31u) + 1;
+    for (int i = 0; i < order; ++i) out[i] = br.read_signed(bps);
+    int precision = (int)br.read_bits(4) + 1;
+    if (precision == 16) return false;  // 0b1111 is invalid
+    int shift = (int)br.read_signed(5);
+    if (shift < 0) return false;
+    std::vector<int64_t> coefs(order);
+    for (int i = 0; i < order; ++i) coefs[i] = br.read_signed(precision);
+    if (!decode_flac_residual(br, block_size, order, out.data() + order))
+      return false;
+    for (uint32_t i = (uint32_t)order; i < block_size; ++i) {
+      int64_t pred = 0;
+      for (int j = 0; j < order; ++j) pred += coefs[j] * out[i - 1 - j];
+      out[i] += pred >> shift;
+    }
+  } else {
+    return false;  // reserved
+  }
+  if (wasted) {
+    for (uint32_t i = 0; i < block_size; ++i) out[i] <<= wasted;
+  }
+  return !br.error;
+}
+
+static const uint32_t kFlacBlockSizes[16] = {
+    0, 192, 576, 1152, 2304, 4608, 0, 0, 256, 512, 1024, 2048, 4096, 8192,
+    16384, 32768};
+static const uint32_t kFlacSampleRates[16] = {
+    0, 88200, 176400, 192000, 8000, 16000, 22050, 24000, 32000, 44100, 48000,
+    96000, 0, 0, 0, 0};
+
+bool decode_flac(const uint8_t* buf, size_t n, AudioData& out) {
+  if (n < 8 || memcmp(buf, "fLaC", 4) != 0) return false;
+  size_t pos = 4;
+  FlacStreamInfo info;
+  bool have_info = false;
+  // metadata blocks
+  while (pos + 4 <= n) {
+    uint8_t hdr = buf[pos];
+    bool last = hdr & 0x80u;
+    uint8_t type = hdr & 0x7Fu;
+    uint32_t len = ((uint32_t)buf[pos + 1] << 16) | ((uint32_t)buf[pos + 2] << 8) |
+                   buf[pos + 3];
+    pos += 4;
+    if (pos + len > n) return false;
+    if (type == 0 && len >= 34) {
+      const uint8_t* p = buf + pos;
+      info.min_block = ((uint32_t)p[0] << 8) | p[1];
+      info.max_block = ((uint32_t)p[2] << 8) | p[3];
+      info.sample_rate = ((uint32_t)p[10] << 12) | ((uint32_t)p[11] << 4) |
+                         (p[12] >> 4);
+      info.channels = ((p[12] >> 1) & 0x7u) + 1;
+      info.bits_per_sample = (((p[12] & 1u) << 4) | (p[13] >> 4)) + 1;
+      info.total_samples = ((uint64_t)(p[13] & 0x0Fu) << 32) |
+                           ((uint64_t)p[14] << 24) | ((uint64_t)p[15] << 16) |
+                           ((uint64_t)p[16] << 8) | p[17];
+      have_info = true;
+    }
+    pos += len;
+    if (last) break;
+  }
+  if (!have_info || info.sample_rate == 0) return false;
+
+  out.sample_rate = (int)info.sample_rate;
+  out.channels = (int)info.channels;
+  out.frames = 0;
+  if (info.total_samples)
+    out.samples.reserve((size_t)info.total_samples * info.channels);
+
+  BitReader br(buf, n);
+  br.byte_pos = pos;
+  const double scale = 1.0 / (double)(1u << (info.bits_per_sample - 1));
+  std::vector<std::vector<int64_t>> chan(info.channels);
+
+  while (br.byte_pos + 2 < n && !br.error) {
+    // frame header: 14-bit sync
+    uint32_t sync = (uint32_t)br.read_bits(14);
+    if (br.error) break;
+    if (sync != 0x3FFE) return out.frames > 0;  // trailing junk tolerated
+    br.read_bit();  // reserved
+    br.read_bit();  // blocking strategy
+    uint32_t bs_code = (uint32_t)br.read_bits(4);
+    uint32_t sr_code = (uint32_t)br.read_bits(4);
+    uint32_t ch_code = (uint32_t)br.read_bits(4);
+    uint32_t ss_code = (uint32_t)br.read_bits(3);
+    br.read_bit();  // reserved
+    read_utf8_coded(br);
+    uint32_t block_size;
+    if (bs_code == 6)
+      block_size = (uint32_t)br.read_bits(8) + 1;
+    else if (bs_code == 7)
+      block_size = (uint32_t)br.read_bits(16) + 1;
+    else
+      block_size = kFlacBlockSizes[bs_code];
+    if (sr_code == 12)
+      br.read_bits(8);
+    else if (sr_code == 13 || sr_code == 14)
+      br.read_bits(16);
+    br.read_bits(8);  // CRC-8
+    if (block_size == 0 || br.error) return false;
+
+    int bps = (int)info.bits_per_sample;
+    switch (ss_code) {
+      case 0: break;  // from STREAMINFO
+      case 1: bps = 8; break;
+      case 2: bps = 12; break;
+      case 4: bps = 16; break;
+      case 5: bps = 20; break;
+      case 6: bps = 24; break;
+      case 7: bps = 32; break;
+      default: return false;
+    }
+
+    uint32_t nch;
+    if (ch_code < 8) {
+      nch = ch_code + 1;
+      if (nch != info.channels) return false;
+      for (uint32_t c = 0; c < nch; ++c)
+        if (!decode_flac_subframe(br, block_size, bps, chan[c])) return false;
+    } else if (ch_code <= 10) {
+      nch = 2;
+      if (info.channels != 2) return false;
+      // side channel carries one extra bit
+      int bps0 = bps + (ch_code == 9 ? 1 : 0);
+      int bps1 = bps + (ch_code != 9 ? 1 : 0);
+      if (!decode_flac_subframe(br, block_size, bps0, chan[0])) return false;
+      if (!decode_flac_subframe(br, block_size, bps1, chan[1])) return false;
+      if (ch_code == 8) {  // left/side -> right = left - side
+        for (uint32_t i = 0; i < block_size; ++i)
+          chan[1][i] = chan[0][i] - chan[1][i];
+      } else if (ch_code == 9) {  // side/right -> left = side + right
+        for (uint32_t i = 0; i < block_size; ++i)
+          chan[0][i] = chan[0][i] + chan[1][i];
+      } else {  // mid/side
+        for (uint32_t i = 0; i < block_size; ++i) {
+          int64_t mid = chan[0][i];
+          int64_t side = chan[1][i];
+          mid = (mid << 1) | (side & 1);
+          chan[0][i] = (mid + side) >> 1;
+          chan[1][i] = (mid - side) >> 1;
+        }
+      }
+    } else {
+      return false;
+    }
+    br.align_byte();
+    br.read_bits(16);  // CRC-16
+    if (br.error) return false;
+
+    size_t base = out.samples.size();
+    out.samples.resize(base + (size_t)block_size * info.channels);
+    for (uint32_t i = 0; i < block_size; ++i)
+      for (uint32_t c = 0; c < info.channels; ++c)
+        out.samples[base + (size_t)i * info.channels + c] =
+            (float)(chan[c][i] * scale);
+    out.frames += block_size;
+    if (info.total_samples && (uint64_t)out.frames >= info.total_samples) break;
+  }
+  return out.frames > 0;
+}
+
+// ---------------------------------------------------------------------------
+// WAV decoding / encoding
+// ---------------------------------------------------------------------------
+uint32_t rd_u32(const uint8_t* p) {
+  return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
+         ((uint32_t)p[3] << 24);
+}
+uint16_t rd_u16(const uint8_t* p) { return (uint16_t)(p[0] | (p[1] << 8)); }
+
+bool decode_wav(const uint8_t* buf, size_t n, AudioData& out) {
+  if (n < 44 || memcmp(buf, "RIFF", 4) != 0 || memcmp(buf + 8, "WAVE", 4) != 0)
+    return false;
+  size_t pos = 12;
+  uint16_t fmt = 0, channels = 0, bits = 0;
+  uint32_t sr = 0;
+  const uint8_t* data = nullptr;
+  size_t data_len = 0;
+  while (pos + 8 <= n) {
+    const uint8_t* chunk_id = buf + pos;
+    uint32_t chunk_len = rd_u32(buf + pos + 4);
+    pos += 8;
+    if (pos + chunk_len > n) chunk_len = (uint32_t)(n - pos);
+    if (memcmp(chunk_id, "fmt ", 4) == 0 && chunk_len >= 16) {
+      fmt = rd_u16(buf + pos);
+      channels = rd_u16(buf + pos + 2);
+      sr = rd_u32(buf + pos + 4);
+      bits = rd_u16(buf + pos + 14);
+      if (fmt == 0xFFFE && chunk_len >= 40) {
+        // WAVE_FORMAT_EXTENSIBLE: subformat GUID starts with the format tag
+        fmt = rd_u16(buf + pos + 24);
+      }
+    } else if (memcmp(chunk_id, "data", 4) == 0) {
+      data = buf + pos;
+      data_len = chunk_len;
+    }
+    pos += chunk_len + (chunk_len & 1);  // chunks are word-aligned
+  }
+  if (!data || !channels || !sr) return false;
+  size_t bytes_per = bits / 8;
+  if (!bytes_per) return false;
+  size_t total = data_len / bytes_per;
+  out.sample_rate = (int)sr;
+  out.channels = (int)channels;
+  out.frames = (int64_t)(total / channels);
+  total = (size_t)out.frames * channels;
+  out.samples.resize(total);
+  if (fmt == 3 && bits == 32) {
+    memcpy(out.samples.data(), data, total * 4);
+  } else if (fmt == 3 && bits == 64) {
+    for (size_t i = 0; i < total; ++i) {
+      double v;
+      memcpy(&v, data + i * 8, 8);
+      out.samples[i] = (float)v;
+    }
+  } else if (fmt == 1 && bits == 16) {
+    for (size_t i = 0; i < total; ++i) {
+      int16_t v = (int16_t)rd_u16(data + i * 2);
+      out.samples[i] = (float)(v / 32768.0);
+    }
+  } else if (fmt == 1 && bits == 24) {
+    for (size_t i = 0; i < total; ++i) {
+      const uint8_t* p = data + i * 3;
+      int32_t v = (int32_t)((uint32_t)p[0] << 8 | (uint32_t)p[1] << 16 |
+                            (uint32_t)p[2] << 24) >> 8;
+      out.samples[i] = (float)(v / 8388608.0);
+    }
+  } else if (fmt == 1 && bits == 32) {
+    for (size_t i = 0; i < total; ++i) {
+      int32_t v = (int32_t)rd_u32(data + i * 4);
+      out.samples[i] = (float)(v / 2147483648.0);
+    }
+  } else if (fmt == 1 && bits == 8) {
+    for (size_t i = 0; i < total; ++i)
+      out.samples[i] = (float)((data[i] - 128) / 128.0);
+  } else {
+    return false;
+  }
+  return true;
+}
+
+bool read_whole_file(const char* path, std::vector<uint8_t>& buf) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  if (sz <= 0) {
+    fclose(f);
+    return false;
+  }
+  buf.resize((size_t)sz);
+  size_t got = fread(buf.data(), 1, (size_t)sz, f);
+  fclose(f);
+  return got == (size_t)sz;
+}
+
+bool decode_any(const char* path, AudioData& out) {
+  std::vector<uint8_t> buf;
+  if (!read_whole_file(path, buf)) return false;
+  if (buf.size() >= 4 && memcmp(buf.data(), "fLaC", 4) == 0)
+    return decode_flac(buf.data(), buf.size(), out);
+  return decode_wav(buf.data(), buf.size(), out);
+}
+
+void wr_u32(FILE* f, uint32_t v) {
+  uint8_t b[4] = {(uint8_t)v, (uint8_t)(v >> 8), (uint8_t)(v >> 16),
+                  (uint8_t)(v >> 24)};
+  fwrite(b, 1, 4, f);
+}
+void wr_u16(FILE* f, uint16_t v) {
+  uint8_t b[2] = {(uint8_t)v, (uint8_t)(v >> 8)};
+  fwrite(b, 1, 2, f);
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+extern "C" {
+
+// Opens and fully decodes the file; returns an opaque handle (or null).
+void* audioio_open(const char* path) {
+  AudioData* d = new AudioData();
+  if (!decode_any(path, *d)) {
+    delete d;
+    return nullptr;
+  }
+  return d;
+}
+
+int audioio_sample_rate(void* h) { return ((AudioData*)h)->sample_rate; }
+int audioio_channels(void* h) { return ((AudioData*)h)->channels; }
+long long audioio_frames(void* h) { return ((AudioData*)h)->frames; }
+
+// Copies interleaved float32 samples into out (frames*channels floats).
+int audioio_read(void* h, float* out) {
+  AudioData* d = (AudioData*)h;
+  memcpy(out, d->samples.data(), d->samples.size() * sizeof(float));
+  return 0;
+}
+
+void audioio_close(void* h) { delete (AudioData*)h; }
+
+// Writes an IEEE float32 WAV file from interleaved samples.
+int audioio_write_wav_f32(const char* path, const float* data, long long frames,
+                          int channels, int sample_rate) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  uint32_t data_bytes = (uint32_t)(frames * channels * 4);
+  fwrite("RIFF", 1, 4, f);
+  wr_u32(f, 36 + 4 + data_bytes);  // + fact chunk? keep minimal: no fact
+  fwrite("WAVE", 1, 4, f);
+  fwrite("fmt ", 1, 4, f);
+  wr_u32(f, 16);
+  wr_u16(f, 3);  // IEEE float
+  wr_u16(f, (uint16_t)channels);
+  wr_u32(f, (uint32_t)sample_rate);
+  wr_u32(f, (uint32_t)(sample_rate * channels * 4));
+  wr_u16(f, (uint16_t)(channels * 4));
+  wr_u16(f, 32);
+  fwrite("data", 1, 4, f);
+  wr_u32(f, data_bytes);
+  size_t written = fwrite(data, 4, (size_t)frames * channels, f);
+  fclose(f);
+  return written == (size_t)(frames * channels) ? 0 : -1;
+}
+
+// Writes a PCM16 WAV file from interleaved float samples (clipped).
+int audioio_write_wav_pcm16(const char* path, const float* data,
+                            long long frames, int channels, int sample_rate) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  uint32_t data_bytes = (uint32_t)(frames * channels * 2);
+  fwrite("RIFF", 1, 4, f);
+  wr_u32(f, 36 + data_bytes);
+  fwrite("WAVE", 1, 4, f);
+  fwrite("fmt ", 1, 4, f);
+  wr_u32(f, 16);
+  wr_u16(f, 1);
+  wr_u16(f, (uint16_t)channels);
+  wr_u32(f, (uint32_t)sample_rate);
+  wr_u32(f, (uint32_t)(sample_rate * channels * 2));
+  wr_u16(f, (uint16_t)(channels * 2));
+  wr_u16(f, 16);
+  fwrite("data", 1, 4, f);
+  wr_u32(f, data_bytes);
+  for (long long i = 0; i < frames * channels; ++i) {
+    float v = data[i];
+    if (v > 1.0f) v = 1.0f;
+    if (v < -1.0f) v = -1.0f;
+    int16_t s = (int16_t)(v * 32767.0f);
+    uint8_t b[2] = {(uint8_t)(uint16_t)s, (uint8_t)((uint16_t)s >> 8)};
+    fwrite(b, 1, 2, f);
+  }
+  fclose(f);
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,145 @@
+"""Audio file I/O backed by the native C++ ``audioio`` runtime.
+
+Mirrors the API surface of the reference's ``util/io_ops.py`` (read_file /
+write_file, /root/reference/util/io_ops.py:7-23) but is built on a first-party
+C++ WAV+FLAC codec (``../native/audioio.cpp``) instead of libsndfile.
+
+The native library is compiled on demand with ``make`` the first time it is
+needed; a pure-Python WAV fallback (via :mod:`scipy.io.wavfile`) covers
+environments without a C++ toolchain (FLAC requires the native library).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libaudioio.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _build_native() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s"], cwd=_NATIVE_DIR, check=True,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        return os.path.isfile(_LIB_PATH)
+    except Exception:
+        logging.exception("Building native audioio failed")
+        return False
+
+
+def _get_lib():
+    """Load (building if necessary) the native audioio library, or None."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.isfile(_LIB_PATH) and not _build_native():
+            return None
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.audioio_open.restype = ctypes.c_void_p
+        lib.audioio_open.argtypes = [ctypes.c_char_p]
+        lib.audioio_sample_rate.restype = ctypes.c_int
+        lib.audioio_sample_rate.argtypes = [ctypes.c_void_p]
+        lib.audioio_channels.restype = ctypes.c_int
+        lib.audioio_channels.argtypes = [ctypes.c_void_p]
+        lib.audioio_frames.restype = ctypes.c_longlong
+        lib.audioio_frames.argtypes = [ctypes.c_void_p]
+        lib.audioio_read.restype = ctypes.c_int
+        lib.audioio_read.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+        lib.audioio_close.restype = None
+        lib.audioio_close.argtypes = [ctypes.c_void_p]
+        lib.audioio_write_wav_f32.restype = ctypes.c_int
+        lib.audioio_write_wav_f32.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.audioio_write_wav_pcm16.restype = ctypes.c_int
+        lib.audioio_write_wav_pcm16.argtypes = lib.audioio_write_wav_f32.argtypes
+        _lib = lib
+    return _lib
+
+
+def read_file(audio_path):
+    """Read an audio file (WAV or FLAC).
+
+    Returns ``(signal, sample_rate, num_channels)`` with ``signal`` a float32
+    array of shape ``(frames, channels)`` — the same contract as the
+    reference's ``io_ops.read_file`` (io_ops.py:7-16).
+    """
+    lib = _get_lib()
+    if lib is not None:
+        handle = lib.audioio_open(os.fsencode(audio_path))
+        if handle:
+            try:
+                sr = lib.audioio_sample_rate(handle)
+                channels = lib.audioio_channels(handle)
+                frames = lib.audioio_frames(handle)
+                signal = np.empty((frames, channels), dtype=np.float32)
+                lib.audioio_read(handle, signal.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            finally:
+                lib.audioio_close(handle)
+            if frames == 0:
+                raise AttributeError(f"Reading {audio_path} produced no samples")
+            return signal, sr, channels
+        raise OSError(f"Native audioio failed to decode {audio_path}")
+    # Fallback: WAV only.
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(audio_path)
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float32)
+    if data.ndim == 1:
+        data = data[:, None]
+    return data, int(sr), data.shape[1]
+
+
+def write_wav(path, signal, sr, subtype="FLOAT"):
+    """Write interleaved float32 WAV. signal: (frames,) or (frames, channels)."""
+    signal = np.ascontiguousarray(np.asarray(signal, dtype=np.float32))
+    if signal.ndim == 1:
+        signal = signal[:, None]
+    frames, channels = signal.shape
+    lib = _get_lib()
+    if lib is not None:
+        fn = lib.audioio_write_wav_f32 if subtype == "FLOAT" else lib.audioio_write_wav_pcm16
+        ret = fn(
+            os.fsencode(path), signal.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            frames, channels, int(sr),
+        )
+        if ret != 0:
+            raise OSError(f"Native audioio failed to write {path}")
+        return
+    from scipy.io import wavfile
+
+    wavfile.write(path, int(sr), signal if subtype == "FLOAT" else
+                  (np.clip(signal, -1, 1) * 32767).astype(np.int16))
+
+
+def write_file(audio_path, signal, sr, channels=None, suffix="_out"):
+    """Write ``signal`` to ``<audio_path without ext><suffix>.wav`` (float32).
+
+    Mirrors io_ops.write_file (io_ops.py:19-23); returns the output path.
+    """
+    out_path = f"{os.path.splitext(audio_path)[0]}{suffix}.wav"
+    write_wav(out_path, signal, sr)
+    logging.info(f"Wrote {out_path}")
+    return out_path

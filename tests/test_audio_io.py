@@ -1,0 +1,59 @@
+"""Native audio I/O tests: FLAC bit-exactness (STREAMINFO MD5) and WAV round-trip."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from pyaudiorestoration_tpu.utils import audio_io
+
+
+def _streaminfo(path):
+    raw = open(path, "rb").read()
+    assert raw[:4] == b"fLaC"
+    p = raw[8:8 + 34]
+    bps = (((p[12] & 1) << 4) | (p[13] >> 4)) + 1
+    total = ((p[13] & 0xF) << 32) | (p[14] << 24) | (p[15] << 16) | (p[16] << 8) | p[17]
+    md5 = raw[8 + 18:8 + 34].hex()
+    return bps, total, md5
+
+
+@pytest.mark.parametrize("name", [
+    "flutter.flac", "flutter_192.flac", "rhythm.flac",
+    "rhythm+1percent.flac", "rhythm+5percent.flac", "dropouts_sample.flac",
+])
+def test_flac_md5_exact(samples_dir, name):
+    path = samples_dir / name
+    sig, sr, ch = audio_io.read_file(path)
+    bps, total, md5_ref = _streaminfo(path)
+    assert len(sig) == total
+    assert sig.dtype == np.float32
+    ints = np.round(sig.astype(np.float64) * (2 ** (bps - 1))).astype(np.int64)
+    assert bps == 16
+    assert hashlib.md5(ints.astype("<i2").tobytes()).hexdigest() == md5_ref
+
+
+def test_wav_read(samples_dir):
+    sig, sr, ch = audio_io.read_file(samples_dir / "nr_signal.wav")
+    assert sr == 44100
+    assert sig.shape[1] == ch == 1
+    assert 0.01 < np.sqrt((sig ** 2).mean()) < 1.0
+
+
+def test_wav_roundtrip_f32(tmp_path, rng):
+    sig = rng.standard_normal((1000, 2)).astype(np.float32) * 0.3
+    path = tmp_path / "rt.wav"
+    audio_io.write_wav(path, sig, 48000)
+    back, sr, ch = audio_io.read_file(path)
+    assert sr == 48000 and ch == 2
+    np.testing.assert_array_equal(back, sig)
+
+
+def test_write_file_suffix(tmp_path, rng):
+    sig = rng.standard_normal(500).astype(np.float32) * 0.1
+    src = tmp_path / "x.flac"
+    src.touch()
+    out = audio_io.write_file(str(src), sig, 44100, suffix="_res")
+    assert out.endswith("x_res.wav")
+    back, sr, ch = audio_io.read_file(out)
+    np.testing.assert_array_equal(back[:, 0], sig)
