@@ -1,0 +1,87 @@
+"""STFT/iSTFT parity and round-trip tests.
+
+Parity target: a straightforward numpy realization of the reference's
+conventions (frame -> window -> rfft with zeropad -> /sqrt(n_fft)).
+"""
+
+import numpy as np
+import pytest
+from scipy import signal as dsp
+
+from pyaudiorestoration_tpu.ops import fourier
+
+
+def np_stft_reference(x, n_fft, step, window_name="blackmanharris", zeropad=1):
+    window = dsp.get_window(window_name, n_fft).astype(np.float32)
+    x = np.pad(x, n_fft // 2, mode="reflect")
+    n_est = (len(x) - n_fft) // step + 1
+    out = np.empty((n_fft * zeropad // 2 + 1, n_est), dtype=np.complex64)
+    for i in range(n_est):
+        out[:, i] = np.fft.rfft(window * x[i * step:i * step + n_fft], n=n_fft * zeropad)
+    return out / np.sqrt(n_fft)
+
+
+@pytest.mark.parametrize("n_fft,step,zeropad", [(256, 128, 1), (512, 64, 1), (1024, 256, 2), (128, 32, 4)])
+def test_stft_parity(rng, n_fft, step, zeropad):
+    x = rng.standard_normal(10000).astype(np.float32)
+    ref = np_stft_reference(x, n_fft, step, zeropad=zeropad)
+    got = np.asarray(fourier.stft(x, n_fft, step, zeropad=zeropad))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_stft_batched(rng):
+    x = rng.standard_normal((2, 5000)).astype(np.float32)
+    got = np.asarray(fourier.stft(x, 256, 64))
+    for c in range(2):
+        np.testing.assert_allclose(got[c], np_stft_reference(x[c], 256, 64), atol=2e-4)
+
+
+@pytest.mark.parametrize("n_fft,hop", [(512, 128), (1024, 256), (256, 100)])
+def test_roundtrip(rng, n_fft, hop):
+    """stft -> istft reconstructs the signal (away from edges)."""
+    n = 20000
+    x = rng.standard_normal(n).astype(np.float32) * 0.5
+    spec = fourier.stft(x, n_fft, hop, window_name="hann")
+    y = np.asarray(fourier.istft(spec, hop_length=hop, window_name="hann", length=n))
+    assert y.shape == (n,)
+    # ignore the first/last window where OLA coverage is partial
+    sl = slice(n_fft, n - n_fft)
+    err = np.abs(y[sl] - x[sl]).max()
+    assert err < 1e-3, err
+
+
+def test_roundtrip_blackmanharris(rng):
+    n = 30000
+    x = (np.sin(2 * np.pi * 440 * np.arange(n) / 44100) * 0.3).astype(np.float32)
+    spec = fourier.stft(x, 1024, 128)
+    y = np.asarray(fourier.istft(spec, hop_length=128, length=n))
+    sl = slice(1024, n - 1024)
+    snr = 10 * np.log10(np.mean(x[sl] ** 2) / np.mean((y[sl] - x[sl]) ** 2))
+    assert snr > 60, snr
+
+
+def test_fft_freqs():
+    f = fourier.fft_freqs(1024, 44100)
+    assert f.shape == (513,)
+    assert f[0] == 0
+    assert abs(f[-1] - 22050) < 1e-6
+
+
+def test_fix_length():
+    import jax.numpy as jnp
+    x = jnp.arange(10.0)
+    assert fourier.fix_length(x, 5).shape == (5,)
+    y = fourier.fix_length(x, 15)
+    assert y.shape == (15,) and float(y[-1]) == 0.0
+
+
+def test_window_sumsquare_matches_direct():
+    wss = fourier.window_sumsquare("hann", 50, hop_length=256, n_fft=2048)
+    win_sq = dsp.get_window("hann", 2048) ** 2
+    n = 2048 + 256 * 49
+    direct = np.zeros(n)
+    for i in range(50):
+        s = i * 256
+        direct[s:s + 2048] += win_sq
+    np.testing.assert_allclose(wss, direct, rtol=1e-5)
