@@ -1,0 +1,349 @@
+"""Wow/flutter pitch trackers as pure, jit-compiled functions.
+
+Reference: util/wow_detection.py — a ``Track`` class hierarchy driven by a
+user-drawn (time, freq) trail over a magnitude spectrogram.  Rebuilt here as
+stateless functions sharing a registry (``wow_detectors``):
+
+* ``Peak`` / ``Peak Track`` / ``Freehand``: frame-parallel -> single fused
+  vmap/argmax over masked bands (the reference loops frames in Python,
+  wow_detection.py:294-327).
+* ``Center of Gravity``: sequential band adaptation (Czyzewski et al. 2007)
+  -> ``lax.scan`` with masked full-spectrum band windows so shapes stay
+  static (wow_detection.py:256-291).
+* ``Zero-Crossing``: device bandpass -> host crossing extraction
+  (wow_detection.py:330-358).
+* ``Correlation``: per-frame log2-frequency resample + batched xcorr of
+  consecutive frames -> cumsum speed curve (wow_detection.py:396-436).
+* ``Sine Regression``: FFT-seeded sine fit on the master speed curve
+  (wow_detection.py:190-253).
+
+All trackers take a magnitude spectrogram ``spectrum`` of shape
+(num_bins, num_frames), the raw ``signal`` (mono slice), and the ``trail``
+list of (time, freq) pairs, and return ``(times, freqs)`` numpy arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.interpolate
+import scipy.optimize
+from scipy.signal import get_window
+
+from ..ops import filters
+from ..ops.correlation import parabolic_batch, xcorr
+
+MIN_BINS = 4
+
+__all__ = ["wow_detectors", "trace", "fit_sin", "trace_sine_reg", "interp_nans", "nan_helper"]
+
+
+def nan_helper(y):
+    return np.isnan(y), lambda z: z.nonzero()[0]
+
+
+def interp_nans(y):
+    """In-place linear interpolation over NaN runs (wow_detection.py:14-22)."""
+    nans, x = nan_helper(y)
+    if nans.any() and (~nans).any():
+        y[nans] = np.interp(x(nans), x(~nans), y[~nans])
+    return y
+
+
+class _Grid:
+    """Shared trail sampling / unit mapping (wow_detection.py:28-117)."""
+
+    def __init__(self, spectrum, fft_size, hop, sr, tolerance_st=1.0):
+        self.fft_size = int(fft_size)
+        self.hop = int(hop)
+        self.sr = int(sr)
+        self.num_bins, self.num_frames = spectrum.shape
+        self.tolerance = tolerance_st / 12.0
+
+    def time_2_frame(self, t):
+        return int(t * self.sr / self.hop)
+
+    def sample_trail(self, trail):
+        trail = sorted(trail, key=lambda tup: tup[0])
+        times_raw = [d[0] for d in trail]
+        freqs_raw = [d[1] for d in trail]
+        frame_0, frame_1 = 0, self.num_frames
+        if times_raw[0]:
+            frame_0 = max(frame_0, self.time_2_frame(times_raw[0]))
+        if times_raw[-1]:
+            frame_1 = min(frame_1, self.time_2_frame(times_raw[-1]))
+        if frame_0 == frame_1:
+            logging.warning("No point in tracing just one FFT")
+        times = np.linspace(frame_0 * self.hop / self.sr, frame_1 * self.hop / self.sr,
+                            frame_1 - frame_0)
+        freqs = np.interp(times, times_raw, freqs_raw)
+        return frame_0, frame_1, times, freqs
+
+
+def _band_limits_np(freqs, tolerance, fft_size, sr, num_bins):
+    """Vectorized band limits with the reference's min-bin widening
+    (wow_detection.py:97-117)."""
+    logf = np.log2(freqs)
+    fL = np.clip(np.power(2.0, logf - tolerance), 1.0, None)
+    fU = np.minimum(np.power(2.0, logf + tolerance), sr / 2)
+    NL = np.clip(np.round(fL * fft_size / sr).astype(np.int32), 1, num_bins - 1)
+    NU = np.clip(np.round(fU * fft_size / sr).astype(np.int32), 1, num_bins - 1)
+    width = NU - NL
+    iters = np.where(width < MIN_BINS, (MIN_BINS - width + 1) // 2, 0)
+    return NL - iters, NU + iters
+
+
+@functools.partial(jax.jit, static_argnames=("fft_size", "sr"))
+def _masked_peak_per_frame(spec_sel, NL, NU, fft_size: int, sr: int):
+    """For each frame, argmax within [NL, NU) + parabolic refine when the
+    maximum is a true local peak (wow_detection.py:119-139)."""
+    num_bins = spec_sel.shape[0]
+    bins = jnp.arange(num_bins)
+    frames = spec_sel.T  # (n_frames, num_bins)
+    mask = (bins[None, :] >= NL[:, None]) & (bins[None, :] < NU[:, None])
+    scores = jnp.where(mask, frames, -jnp.inf)
+    peak = jnp.argmax(scores, axis=-1)
+    p = jnp.clip(peak, 1, num_bins - 2)
+    fm1 = jnp.take_along_axis(frames, (p - 1)[:, None], axis=-1)[:, 0]
+    f0 = jnp.take_along_axis(frames, p[:, None], axis=-1)[:, 0]
+    fp1 = jnp.take_along_axis(frames, (p + 1)[:, None], axis=-1)[:, 0]
+    is_peak = (fm1 < f0) & (f0 > fp1) & (peak == p)
+    refined, _ = parabolic_batch(frames, p)
+    peak_f = jnp.where(is_peak, refined, peak.astype(refined.dtype))
+    return peak_f / fft_size * sr
+
+
+def _trace_peak(spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1.0,
+                adaptation_mode="Linear", fixed_band=False, half_after=0):
+    g = _Grid(spectrum, fft_size, hop, sr, tolerance_st)
+    frame_0, frame_1, times, freqs = g.sample_trail(trail)
+    if fixed_band:
+        # 'Peak Track': the band comes from the first drawn frequency, with the
+        # tolerance halved after the first 3 frames (wow_detection.py:311-327)
+        tol = np.full(len(freqs), g.tolerance)
+        tol[min(3, len(tol)):] = g.tolerance / 2
+        NL, NU = _band_limits_np(np.full(len(freqs), freqs[0]), tol, g.fft_size, g.sr, g.num_bins)
+    else:
+        NL, NU = _band_limits_np(freqs, g.tolerance, g.fft_size, g.sr, g.num_bins)
+    spec_sel = jnp.asarray(spectrum)[:, frame_0:frame_1]
+    out = np.asarray(_masked_peak_per_frame(spec_sel, jnp.asarray(NL), jnp.asarray(NU),
+                                            g.fft_size, g.sr))
+    interp_nans(out)
+    return times, out
+
+
+def trace_peak(spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1.0,
+               adaptation_mode="Linear"):
+    return _trace_peak(spectrum, signal, trail, fft_size, hop, sr, tolerance_st)
+
+
+def trace_peak_track(spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1.0,
+                     adaptation_mode="Linear"):
+    return _trace_peak(spectrum, signal, trail, fft_size, hop, sr, tolerance_st,
+                       fixed_band=True)
+
+
+def trace_freehand(spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1.0,
+                   adaptation_mode="Linear"):
+    """Use the drawn trail verbatim (wow_detection.py:390-394)."""
+    g = _Grid(spectrum, fft_size, hop, sr, tolerance_st)
+    _, _, times, freqs = g.sample_trail(trail)
+    return times, freqs
+
+
+@functools.partial(jax.jit, static_argnames=("fft_size", "sr", "n_steps"))
+def _cog_scan(spec_sel, log2_fft_freqs, NL0, NU0, tolerance, fft_size: int, sr: int,
+              n_steps: int):
+    """Center-of-gravity tracking with sequential band adaptation.
+
+    Bands are realized as masked continuous-hann windows over the full
+    spectrum so every scan step has static shapes."""
+    num_bins = spec_sel.shape[0]
+    bins = jnp.arange(num_bins, dtype=jnp.float32)
+
+    def step(carry, frame):
+        NL, NU = carry
+        w = jnp.maximum((NU - NL).astype(jnp.float32), 1.0)
+        k = bins - NL.astype(jnp.float32)
+        hann = 0.5 - 0.5 * jnp.cos(2 * jnp.pi * k / jnp.maximum(w - 1.0, 1.0))
+        mask = (bins >= NL) & (bins < NU)
+        wm = jnp.where(mask, hann * frame, 0.0)
+        cog_log2 = jnp.sum(wm * log2_fft_freqs) / jnp.maximum(jnp.sum(wm), 1e-20)
+        cog = jnp.power(2.0, cog_log2)
+        # next band: freq_plus_tolerance + set_bin_limits (clamped, widened)
+        fL = jnp.clip(jnp.power(2.0, cog_log2 - tolerance), 1.0, None)
+        fU = jnp.minimum(jnp.power(2.0, cog_log2 + tolerance), sr / 2)
+        nl = jnp.clip(jnp.round(fL * fft_size / sr).astype(jnp.int32), 1, num_bins - 1)
+        nu = jnp.clip(jnp.round(fU * fft_size / sr).astype(jnp.int32), 1, num_bins - 1)
+        width = nu - nl
+        iters = jnp.where(width < MIN_BINS, (MIN_BINS - width + 1) // 2, 0)
+        return (nl - iters, nu + iters), cog
+
+    _, cogs = jax.lax.scan(step, (NL0, NU0), spec_sel.T[:n_steps])
+    return cogs
+
+
+def trace_cog(spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1.0,
+              adaptation_mode="Linear"):
+    g = _Grid(spectrum, fft_size, hop, sr, tolerance_st)
+    frame_0, frame_1, times, freqs = g.sample_trail(trail)
+    NL, NU = _band_limits_np(freqs[:1], g.tolerance, g.fft_size, g.sr, g.num_bins)
+    from ..ops.fourier import fft_freqs
+    # log2 of bin frequencies; bin 0 is DC -> -inf, masked out by NL >= 1
+    with np.errstate(divide="ignore"):
+        lff = np.log2(np.maximum(fft_freqs(g.fft_size, g.sr), 1e-12)).astype(np.float32)
+    spec_sel = jnp.asarray(spectrum)[:, frame_0:frame_1]
+    cogs = np.asarray(_cog_scan(spec_sel, jnp.asarray(lff), jnp.asarray(NL[0]),
+                                jnp.asarray(NU[0]), g.tolerance, g.fft_size, g.sr,
+                                frame_1 - frame_0))
+    interp_nans(cogs)
+    return times, cogs
+
+
+def zero_crossings(a):
+    positive = a > 0
+    return np.where(np.bitwise_xor(positive[1:], positive[:-1]))[0]
+
+
+def trace_zero_crossing(spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1.0,
+                        adaptation_mode="Linear"):
+    """Zero-crossing distance pitch tracking (wow_detection.py:330-358)."""
+    g = _Grid(spectrum, fft_size, hop, sr, tolerance_st)
+    _, _, times, freqs = g.sample_trail(trail)
+    tol = g.tolerance
+    fL = np.power(2.0, np.log2(np.min(freqs)) - tol)
+    fU = np.power(2.0, np.log2(np.max(freqs)) + tol)
+    s_0 = int(times[0] * sr)
+    s_1 = int(times[-1] * sr)
+    sig = signal[s_0:s_1, 0] if signal.ndim == 2 else signal[s_0:s_1]
+    filtered = np.asarray(filters.butter_bandpass_filter(sig, fL, fU, sr, order=3))
+    crossings = zero_crossings(filtered)
+    deltas = np.diff(crossings).astype(np.float32)
+    # PDM -> PCM: hann smoothing sized by the mean crossing distance
+    size = int(sr / 100 / np.mean(deltas))
+    padded = np.pad(deltas, size, mode="reflect")
+    win = get_window("hann", size)
+    deltas_conv = np.convolve(padded, win / size * 2, mode="same")[size:-size]
+    out = np.interp(times, crossings[:len(deltas_conv)] / sr + times[0],
+                    sr / 2 / deltas_conv)
+    return times, out
+
+
+@functools.partial(jax.jit, static_argnames=("num_freq_samples",))
+def _correlation_changes(spec_band, log_lo, log_hi, num_freq_samples: int):
+    """Per-frame log2-grid resample + consecutive-frame xcorr peak deltas."""
+    n_bins, n_frames = spec_band.shape
+    src_log = jnp.linspace(log_lo, log_hi, n_bins)
+    dst_log = jnp.linspace(log_lo, log_hi, num_freq_samples)
+    resampled = jax.vmap(lambda col: jnp.interp(dst_log, src_log, col),
+                         in_axes=1, out_axes=1)(spec_band)
+    wind = jnp.asarray(np.hanning(num_freq_samples).astype(np.float32))
+    a = resampled[:, :-1].T * wind  # (n_frames-1, F)
+    b = resampled[:, 1:].T * wind
+    res = xcorr(a, b, mode="same")
+    i_peak = jnp.clip(jnp.argmax(res, axis=-1), 1, res.shape[-1] - 2)
+    i_interp, _ = parabolic_batch(res, i_peak)
+    return (num_freq_samples // 2) - i_interp
+
+
+def trace_correlation(spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1.0,
+                      adaptation_mode="Linear"):
+    """Spectral-flow speed tracking (wow_detection.py:396-436).
+
+    The reference resamples each frame with a quadratic spline in a Python
+    loop; here the resample is a linear log2-grid interp fused into one
+    batched xcorr (the parabolic refinement absorbs the interpolation-order
+    difference at the peak)."""
+    g = _Grid(spectrum, fft_size, hop, sr, tolerance_st)
+    frame_0, frame_1, times, freqs = g.sample_trail(trail)
+    fL, fU = float(np.min(freqs)), float(np.max(freqs))
+    NL, NU = _band_limits_np(np.array([(fL + fU) / 2]), 0.0, g.fft_size, g.sr, g.num_bins)
+    # the reference sets limits from the raw fL/fU (no tolerance applied)
+    NL = max(1, min(g.num_bins - 1, int(round(fL * g.fft_size / g.sr))))
+    NU = max(1, min(g.num_bins - 1, int(round(fU * g.fft_size / g.sr))))
+    while NU - NL < MIN_BINS:
+        NL -= 1
+        NU += 1
+    num_freq_samples = (NU - NL) * 4
+    from ..ops.fourier import fft_freqs
+    lff = np.log2(fft_freqs(g.fft_size, g.sr)[NL:NU])
+    spec_band = jnp.asarray(spectrum)[NL:NU, frame_0:frame_1]
+    n = frame_1 - frame_0
+    changes = np.ones(n)
+    changes[:n - 1] = np.asarray(
+        _correlation_changes(spec_band, float(lff[0]), float(lff[-1]), num_freq_samples))[:n - 1]
+    speed = np.cumsum(changes)
+    speed = speed / num_freq_samples * (lff[-1] - lff[0])
+    log_mean = np.log2((fL + fU) / 2)
+    return times, np.power(2.0, log_mean + speed)
+
+
+def fit_sin(tt, yy, assumed_freq=None):
+    """FFT-seeded sine regression (wow_detection.py:190-228).
+
+    Returns a dict with amp/omega/phase/offset/freq/period.  The nonlinear
+    refinement runs as float64 least squares on the host (4 parameters)."""
+    tt = np.asarray(tt, float)
+    yy = np.asarray(yy, float)
+    ff = np.fft.rfftfreq(len(tt), (tt[1] - tt[0]))
+    fft_data = np.fft.rfft(yy)[1:]
+    if assumed_freq:
+        period = tt[1] - tt[0]
+        N = len(yy) + 1
+        peak_est = int(round(assumed_freq * N * period))
+        win = np.interp(np.arange(0, len(fft_data)), (0, peak_est, len(fft_data)), (0, 1, 0))
+        fft_data = fft_data * win
+    peak_bin = np.argmax(np.abs(fft_data)) + 1
+    guess_freq = ff[peak_bin]
+    guess_amp = np.std(yy) * 2.0 ** 0.5
+    guess_offset = np.mean(yy)
+    guess_phase = np.angle(fft_data[peak_bin])
+    guess = np.array([guess_amp, 2.0 * np.pi * guess_freq, guess_phase, guess_offset])
+
+    def sinfunc(t, A, w, p, c):
+        return A * np.sin(w * t + p) + c
+
+    popt, pcov = scipy.optimize.curve_fit(sinfunc, tt, yy, p0=guess)
+    A, w, p, c = popt
+    f = w / (2.0 * np.pi)
+    return {"amp": A, "omega": w, "phase": p, "offset": c, "freq": f,
+            "period": 1.0 / f, "fitfunc": lambda t: A * np.sin(w * t + p) + c,
+            "maxcov": np.max(pcov), "rawres": (guess, popt, pcov)}
+
+
+def trace_sine_reg(speed_curve, t0, t1, rpm=None):
+    """Sine regression over a span of the master speed curve
+    (wow_detection.py:231-253). Returns (amplitude, omega, phase, offset)."""
+    times = speed_curve[:, 0]
+    speeds = speed_curve[:, 1]
+    period = times[1] - times[0]
+    ind_start = int(t0 / period)
+    ind_stop = int(t1 / period)
+    try:
+        assumed_freq = float(rpm) / 60.0
+    except (TypeError, ValueError):
+        assumed_freq = None
+    res = fit_sin(times[ind_start:ind_stop], speeds[ind_start:ind_stop],
+                  assumed_freq=assumed_freq)
+    return res["amp"], res["omega"], res["phase"], 0
+
+
+wow_detectors = {
+    "Center of Gravity": trace_cog,
+    "Peak": trace_peak,
+    "Peak Track": trace_peak_track,
+    "Zero-Crossing": trace_zero_crossing,
+    "Freehand Draw": trace_freehand,
+    "Correlation": trace_correlation,
+}
+
+
+def trace(mode, spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1.0,
+          adaptation_mode="Linear"):
+    """Dispatch by tracker name (registry mirror of wow_detection.py:453-456)."""
+    return wow_detectors[mode](spectrum, signal, trail, fft_size, hop, sr,
+                               tolerance_st, adaptation_mode)
