@@ -1,0 +1,45 @@
+"""Harmonic / percussive / residual separation batch tool
+(reference: experiments/hpss_gui.py:109-149).
+
+Writes ``_H``, ``_P`` and (for margin > 1) ``_R`` component files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops import decompose, fourier
+from ..utils import audio_io
+
+__all__ = ["separate", "separate_file"]
+
+
+def separate(signal, sr, fft_size=2048, fft_overlap=4, kernel_size=31, power=2.0,
+             margin=1.0, channels=None):
+    """HPSS of every channel; returns (harmonic, percussive, residual) arrays
+    shaped like the selected-channel signal (residual is zeros at margin 1)."""
+    hop = fft_size // fft_overlap
+    channels = list(channels) if channels else list(range(signal.shape[1]))
+    n = len(signal)
+    padded = np.asarray(fourier.fix_length(signal, n + fft_size // 2, axis=0))
+    outs = [np.empty((n, len(channels)), np.float32) for _ in range(3)]
+    for out_c, channel in enumerate(channels):
+        spec = fourier.stft(padded[:, channel], n_fft=fft_size, step=hop)
+        H, P = decompose.hpss(spec, kernel_size=kernel_size, power=power, margin=margin)
+        R = spec - H - P
+        for arr, comp in zip(outs, (H, P, R)):
+            arr[:, out_c] = np.asarray(fourier.istft(comp, length=n, hop_length=hop))
+    return outs
+
+
+def separate_file(file_path, fft_size=2048, fft_overlap=4, kernel_size=31,
+                  power=2.0, margin=1.0, channels=None):
+    """Write the separated components next to the input. Returns paths."""
+    signal, sr, num_channels = audio_io.read_file(file_path)
+    H, P, R = separate(signal, sr, fft_size, fft_overlap, kernel_size, power,
+                       margin, channels)
+    paths = [audio_io.write_file(file_path, H, sr, H.shape[1], "_H"),
+             audio_io.write_file(file_path, P, sr, P.shape[1], "_P")]
+    if margin > 1.0:
+        paths.append(audio_io.write_file(file_path, R, sr, R.shape[1], "_R"))
+    return paths

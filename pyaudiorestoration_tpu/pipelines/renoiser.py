@@ -1,0 +1,122 @@
+"""Re-noising / denoise-repair (reference tool: renoiser_gui.py).
+
+A noise-floor dB profile (from a spectrogram selection or a noise file) plus
+a draggable control curve define a per-bin threshold; bins below threshold
+get a gain (negative dB = denoise, positive = re-noise)
+(renoiser_gui.py:239-345).  The masked STFT -> iSTFT round trip runs on
+device; ``sniff_offset`` scans hop phases for maximal transient contrast
+(renoiser_gui.py:347-380).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import fourier, resampling, units
+from ..utils import audio_io
+
+__all__ = [
+    "noise_profile_from_file", "noise_profile_from_selection", "final_profile",
+    "get_mask_fac", "process", "process_file", "sniff_offset",
+]
+
+
+def noise_profile_from_file(noise_path, sr, fft_size=1024, fft_overlap=4, zeropad=1):
+    """Average dB spectrum of a (resampled) noise file (renoiser_gui.py:239-251)."""
+    hop = fft_size // fft_overlap
+    noise, noise_sr, _ = audio_io.read_file(noise_path)
+    if noise_sr != sr:
+        noise = resampling.resample_ratio(noise, noise_sr, sr, axis=0)
+    mag = np.asarray(fourier.get_mag(noise[:, 0], fft_size, hop, "blackmanharris",
+                                     zeropad=zeropad))
+    return np.average(units.to_dB(mag), axis=1)
+
+
+def noise_profile_from_selection(spec_mag, sr, hop, t0, t1):
+    """Average dB spectrum of a spectrogram time slice (renoiser_gui.py:327-345)."""
+    f0 = max(0, int(t0 * sr / hop))
+    f1 = min(spec_mag.shape[1] - 1, int(t1 * sr / hop))
+    return units.to_dB(np.average(spec_mag[:, f0:f1], axis=1))
+
+
+def final_profile(noise_profile, freqs, control_curve=(), gain=0.0, overhead=0.0):
+    """Threshold = floor + gain + control + overhead (renoiser_gui.py:306-312).
+
+    ``control_curve``: iterable of (freq_hz, dB) points.
+    """
+    if len(control_curve):
+        pts = sorted((float(f), float(d)) for f, d in control_curve)
+        control = np.interp(freqs, [p[0] for p in pts], [p[1] for p in pts])
+    else:
+        control = 0.0
+    return np.asarray(noise_profile) + gain + control + overhead
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _mask_fac(spec_db, profile, gain):
+    gain_mask = jnp.where(spec_db > profile[:, None], 0.0, gain)
+    return jnp.power(10.0, gain_mask / 20.0).astype(jnp.float32)
+
+
+def get_mask_fac(spec_mag, profile, gain):
+    """Gain factor per bin: ``gain`` dB below threshold, 0 dB above
+    (renoiser_gui.py:273-278)."""
+    spec_db = 20.0 * jnp.log10(jnp.asarray(spec_mag))
+    return _mask_fac(spec_db, jnp.asarray(profile, jnp.float32), float(gain))
+
+
+def process(signal, sr, profile, gain, fft_size=1024, fft_overlap=4, channels=None):
+    """Masked STFT -> iSTFT per channel (renoiser_gui.py:296-319)."""
+    hop = fft_size // fft_overlap
+    channels = list(channels) if channels else list(range(signal.shape[1]))
+    n = len(signal)
+    padded = np.asarray(fourier.fix_length(signal, n + fft_size // 2, axis=0))
+    y_out = np.empty((n, len(channels)), signal.dtype)
+    for out_c, channel_i in enumerate(channels):
+        fft_signal = fourier.stft(padded[:, channel_i], n_fft=fft_size, step=hop)
+        fac = get_mask_fac(jnp.abs(fft_signal) + 1e-7, profile, gain)
+        y_out[:, out_c] = np.asarray(fourier.istft(fft_signal * fac, length=n,
+                                                   hop_length=hop))
+    return y_out
+
+
+def process_file(file_path, noise_path=None, selection=None, control_curve=(),
+                 gain=-40.0, overhead=0.0, fft_size=1024, fft_overlap=4,
+                 channels=None, suffix=None):
+    """One-call renoise/denoise of a file. ``selection``: (t0, t1) noise span
+    in the file itself; otherwise ``noise_path`` supplies the floor."""
+    signal, sr, num_channels = audio_io.read_file(file_path)
+    hop = fft_size // fft_overlap
+    if noise_path:
+        profile = noise_profile_from_file(noise_path, sr, fft_size, fft_overlap)
+    elif selection:
+        mag = np.asarray(fourier.get_mag(signal[:, 0], fft_size, hop))
+        profile = noise_profile_from_selection(mag, sr, hop, *selection)
+    else:
+        raise ValueError("need noise_path or selection")
+    freqs = fourier.fft_freqs(fft_size, sr)
+    profile = final_profile(profile, freqs, control_curve, 0.0, overhead)
+    out = process(signal, sr, profile, gain, fft_size, fft_overlap, channels)
+    return audio_io.write_file(file_path, out, sr, out.shape[1],
+                               suffix if suffix is not None else f" fft={fft_size}")
+
+
+def sniff_offset(signal, sr, fft_size=1024, fft_overlap=4, f_lo=3000, f_hi=12000):
+    """Find the hop phase maximizing band-energy variance
+    (renoiser_gui.py:347-380). Returns the optimal pad offset."""
+    hop = fft_size // fft_overlap
+    sig = signal[:, 0] if signal.ndim == 2 else signal
+    l = int(round(f_lo * fft_size / sr))
+    u = int(round(f_hi * fft_size / sr))
+    stds = np.empty(hop)
+    for i in range(hop):
+        padded = np.pad(sig, (i, 0))
+        padded = np.asarray(fourier.fix_length(padded, len(sig) + i + fft_size // 2))
+        fft_signal = np.asarray(fourier.stft(padded, n_fft=fft_size, step=hop))
+        time_gain = np.average(np.abs(fft_signal[l:u, :]), axis=0)
+        stds[i] = time_gain.std()
+    return int(np.argmax(stds))

@@ -1,0 +1,208 @@
+"""Sub-sample spectral-temporal alignment of two recordings
+(reference tool: pytapesynch_gui.py).
+
+Pipeline: lag markers (manual or auto-placed) -> windowed band-passed
+cross-correlation refinement (``correlate_sources``,
+pytapesynch_gui.py:108-133) -> spline lag curve with azimuth-sweep overrides
+(markers.py:730-794) -> lag-curve resample of the source.
+
+TPU-first: the azimuth sweep correlates all windows in one batched jit call
+(the reference loops windows in Python, pytapesynch_gui.py:231-235); the
+speed-ratio estimator cross-correlates log2-spaced average spectra on device.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from ..models import markers as mk
+from ..ops import correlation, filters, fourier, resampling
+from ..utils import audio_io
+
+__all__ = [
+    "get_signal", "get_signal_around", "correlate_sources", "improve_lag",
+    "azimuth_sweep", "estimate_speed_ratio", "auto_align", "align_files",
+    "get_speed_at",
+]
+
+
+def get_signal(signal, sr, t0, t1, channel=0):
+    """Zero-padded slice [t0, t1) of one channel (spectrum.py:153-171)."""
+    sig = signal[:, channel] if signal.ndim == 2 else signal
+    s0 = int(t0 * sr)
+    s1 = int(t1 * sr)
+    pad_l = max(0, -s0)
+    pad_r = max(0, s1 - len(sig))
+    piece = sig[max(0, s0):min(len(sig), s1)]
+    return np.pad(piece, (pad_l, pad_r))
+
+
+def get_signal_around(signal, sr, t, width, channel=0):
+    return get_signal(signal, sr, t - width, t + width, channel)
+
+
+def get_speed_at(lag_data, marker_sr, t, width=0.05):
+    """Local source-speed estimate from the lag-curve derivative
+    (pytapesynch_gui.py:175-192)."""
+    filtered = np.asarray(filters.butter_bandpass_filter(
+        lag_data[:, 1], 0, 15, marker_sr, order=3, backend="host"))
+    before = np.interp(t - width, lag_data[:, 0], filtered)
+    after = np.interp(t + width, lag_data[:, 0], filtered)
+    speed = (after - before) / (2 * width) + 1.0
+    return speed
+
+
+def correlate_sources(ref_signal, src_signal, sr, t0, t1, delay, lower, upper,
+                      ignore_phase=False, window_name=None, speed=1.0):
+    """Windowed band-passed delay estimate between the two sources
+    (pytapesynch_gui.py:108-133).  ``speed`` != 1 resamples the source
+    window to the reference's expected speed first.
+    Returns (time_delay_seconds, correlation)."""
+    t_center = (t0 + t1) / 2
+    t_width = (t1 - t0) / 2
+    ref_sig = get_signal_around(ref_signal, sr, t_center, t_width)
+    if speed != 1.0:
+        src_sig = get_signal_around(src_signal, sr, t_center - delay, t_width / speed)
+        src_sig = resampling.resample_ratio(src_sig, sr / speed, sr, quality=8)
+    else:
+        src_sig = get_signal_around(src_signal, sr, t_center - delay, t_width)
+    n = min(len(ref_sig), len(src_sig))
+    a = np.asarray(filters.butter_bandpass_filter(ref_sig[:n], lower, upper, sr, order=3,
+                                                  backend="host"))
+    b = np.asarray(filters.butter_bandpass_filter(src_sig[:n], lower, upper, sr, order=3,
+                                                  backend="host"))
+    sample_delay, corr = correlation.find_delay(a, b, ignore_phase=ignore_phase,
+                                                window_name=window_name)
+    return float(sample_delay) / sr * speed, float(corr)
+
+
+def improve_lag(ref_signal, src_signal, sr, lag_samples, lower=None, upper=None,
+                ignore_phase=False, match_speed=False, lag_data=None, marker_sr=None):
+    """Refine selected lag markers in place (pytapesynch_gui.py:92-106)."""
+    for lag in lag_samples:
+        try:
+            t0, t1 = sorted((lag.a[0], lag.b[0]))
+            lo = lower if lower is not None else min(lag.a[1], lag.b[1])
+            hi = upper if upper is not None else max(lag.a[1], lag.b[1])
+            speed = 1.0
+            if match_speed and lag_data is not None:
+                speed = get_speed_at(lag_data, marker_sr, (t0 + t1) / 2)
+            time_delay, corr = correlate_sources(
+                ref_signal, src_signal, sr, t0, t1, lag.d, lo, hi,
+                ignore_phase=ignore_phase, speed=speed)
+            lag.d += time_delay
+            lag.corr = corr
+        except Exception:
+            logging.exception("Refining failed")
+    return lag_samples
+
+
+def azimuth_sweep(ref_signal, src_signal, sr, t0, t1, lower, upper, lag_data,
+                  dur=0.1, overlap=4, reject=0.3, ignore_phase=False):
+    """Per-window delay sweep across [t0, t1] -> AzimuthLine
+    (pytapesynch_gui.py:211-238), with all windows correlated in ONE batched
+    device call."""
+    sample_times = np.arange(t0, t1, dur / overlap)
+    if not len(sample_times):
+        return None
+    sample_lags = np.interp(sample_times, lag_data[:, 0], lag_data[:, 1])
+    # build the window stacks (all same length -> batchable)
+    n_win = int(round(2 * dur * sr))
+    refs = np.stack([get_signal_around(ref_signal, sr, x, dur) [:n_win]
+                     for x in sample_times])
+    srcs = np.stack([get_signal_around(src_signal, sr, x - d, dur)[:n_win]
+                     for x, d in zip(sample_times, sample_lags)])
+    refs = np.stack([np.asarray(filters.butter_bandpass_filter(r, lower, upper, sr, order=3,
+                                                               backend="host")) for r in refs])
+    srcs = np.stack([np.asarray(filters.butter_bandpass_filter(s, lower, upper, sr, order=3,
+                                                               backend="host")) for s in srcs])
+    delays, corrs = correlation.find_delay_batch(refs, srcs, ignore_phase=ignore_phase,
+                                                 window_name="hann")
+    lags = sample_lags + np.asarray(delays) / sr
+    marker = mk.AzimuthLine(sample_times, lags, np.asarray(corrs), lower, upper)
+    marker.update_reject(overlap, reject)
+    return marker
+
+
+def estimate_speed_ratio(ref_signal, src_signal, sr, fft_size=16384, f_lo=50.0, f_hi=None):
+    """Global speed ratio of src relative to ref from the log2-frequency shift
+    of their average spectra (the Correlation tracker's trick across files,
+    wow_detection.py:396-436 applied globally)."""
+    f_hi = f_hi or sr / 2 * 0.9
+    hop = fft_size // 2
+
+    def mean_logspec(sig):
+        mono = sig[:, 0] if sig.ndim == 2 else sig
+        mag = np.asarray(fourier.get_mag(mono, fft_size, hop, "hann"))
+        return mag.mean(axis=1)
+
+    a = mean_logspec(ref_signal)
+    b = mean_logspec(src_signal)
+    freqs = fourier.fft_freqs(fft_size, sr)
+    lo, hi = np.searchsorted(freqs, (f_lo, f_hi))
+    log_grid = np.linspace(np.log2(freqs[lo]), np.log2(freqs[hi - 1]), 4 * (hi - lo))
+    la = np.interp(log_grid, np.log2(freqs[lo:hi]), np.log(a[lo:hi] + 1e-10))
+    lb = np.interp(log_grid, np.log2(freqs[lo:hi]), np.log(b[lo:hi] + 1e-10))
+    la -= la.mean()
+    lb -= lb.mean()
+    res = np.asarray(correlation.xcorr(la * np.hanning(len(la)),
+                                       lb * np.hanning(len(lb)), mode="same"))
+    i_peak = int(np.argmax(res))
+    i_interp, _ = correlation.parabolic(res, min(max(i_peak, 1), len(res) - 2))
+    shift_log2 = (float(i_interp) - len(res) // 2) * (log_grid[-1] - log_grid[0]) / len(log_grid)
+    # src content shifted up by s octaves lags the ref spectrum on the log
+    # grid, putting the correlation peak at center - s: ratio = 2**(-shift)
+    return float(2.0 ** (-shift_log2))
+
+
+def auto_align(ref_signal, src_signal, sr, num_windows=8, window_s=1.0,
+               lower=100.0, upper=None, hop=64, smoothing=3, match_speed=True):
+    """Headless end-to-end alignment: estimate the global speed offset, then
+    window-correlate along the overlap to build the lag curve.
+
+    Returns (lag_samples, lag_curve_data) where the curve is (n, 2) time/lag
+    seconds on the reference timeline.
+    """
+    upper = upper or sr / 4
+    ratio = estimate_speed_ratio(ref_signal, src_signal, sr) if match_speed else 1.0
+    logging.info(f"Source speed ratio estimate: {ratio:.5f}")
+    dur_ref = len(ref_signal) / sr
+    centers = np.linspace(window_s, dur_ref - window_s, num_windows)
+    # initial lag guess: src time = ref time / ... lag(t) = t - t*ratio ... with
+    # src ~ ref resampled by ratio: src position of ref time t is t/ratio.
+    lag_guess = centers - centers / ratio
+    samples = []
+    for t, d0 in zip(centers, lag_guess):
+        try:
+            delay, corr = correlate_sources(
+                ref_signal, src_signal, sr, t - window_s, t + window_s, d0,
+                lower, upper, window_name="hann", speed=ratio)
+            samples.append(mk.LagSample((t - window_s, lower), (t + window_s, upper),
+                                        d0 + delay, corr))
+        except Exception:
+            logging.exception(f"auto_align window at {t:.2f}s failed")
+    marker_sr = sr / hop
+    lag_line = mk.LagLine(sr, hop, dur_ref, smoothing=smoothing)
+    data = lag_line.update(samples)
+    return samples, data
+
+
+def align_files(ref_path, src_path, out_suffix="", num_windows=8, window_s=1.0,
+                lower=100.0, upper=None, smoothing=3, use_channels=(),
+                resampling_mode="Sinc", sinc_quality=50):
+    """BASELINE config 4: align ``src`` to ``ref`` and write the resampled
+    source (pytapesynch_gui.py:145-155)."""
+    ref_signal, sr, _ = audio_io.read_file(ref_path)
+    src_signal, sr2, _ = audio_io.read_file(src_path)
+    if sr2 != sr:
+        src_signal = resampling.resample_ratio(src_signal, sr2, sr)
+    samples, lag_curve = auto_align(ref_signal, src_signal, sr,
+                                    num_windows=num_windows, window_s=window_s,
+                                    lower=lower, upper=upper, smoothing=smoothing)
+    paths = resampling.run(
+        (src_path,), signal_data=((src_signal, sr),), lag_curve=lag_curve,
+        resampling_mode=resampling_mode, sinc_quality=sinc_quality,
+        use_channels=use_channels, suffix=out_suffix)
+    return paths, samples, lag_curve
