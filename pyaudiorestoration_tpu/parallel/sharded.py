@@ -1,0 +1,211 @@
+"""Time-sharded STFT / iSTFT / restoration step with ICI halo exchange.
+
+The reference's answer to long recordings is blockwise streaming with
+``overlap*hop`` halos and boundary trimming (experiments/pyrespeeder_cmd.py:
+16-49); on TPU the time axis shards across devices instead, and the halos are
+``jax.lax.ppermute`` neighbor exchanges inside ``shard_map``:
+
+* STFT: a frame straddling a shard boundary needs ``n_fft - step`` samples
+  from the right neighbor -> one left-directed ppermute before framing.
+* iSTFT overlap-add: each shard's trailing ``n_fft - step`` samples belong to
+  the right neighbor's head -> one right-directed ppermute plus an add.
+* The fixed-length varispeed resampler gathers within a bounded drift halo.
+
+All functions are pure and jit/shard_map compiled; they compose into
+``restore_step`` — the flagship "training-step equivalent" that the multichip
+dry-run compiles over a ('files', 'time') mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.fourier import get_window
+
+__all__ = ["stft_sharded", "istft_sharded", "restore_step", "halo_exchange_right"]
+
+
+def _left_ppermute(x, axis_name, n_shards):
+    """Send my leading block to my left neighbor (receive from the right;
+    last shard receives zeros)."""
+    perm = [(d, d - 1) for d in range(1, n_shards)]
+    return jax.lax.ppermute(x, axis_name, perm)
+
+
+def _right_ppermute(x, axis_name, n_shards):
+    """Send my block to my right neighbor (first shard receives zeros)."""
+    perm = [(d, d + 1) for d in range(n_shards - 1)]
+    return jax.lax.ppermute(x, axis_name, perm)
+
+
+def halo_exchange_right(local, halo: int, axis_name: str, n_shards: int):
+    """Append the right neighbor's first ``halo`` samples along the last axis."""
+    head = local[..., :halo]
+    recv = _left_ppermute(head, axis_name, n_shards)
+    return jnp.concatenate([local, recv], axis=-1)
+
+
+def _stft_local(x_ext, n_fft: int, step: int, window, zeropad: int, n_frames: int):
+    idx = np.arange(n_frames)[:, None] * step + np.arange(n_fft)[None, :]
+    frames = x_ext[..., idx] * window
+    spec = jnp.fft.rfft(frames, n=n_fft * zeropad, axis=-1)
+    return jnp.swapaxes(spec, -1, -2) / np.sqrt(n_fft)  # (..., F, T_local)
+
+
+def stft_sharded(mesh: Mesh, x, n_fft: int = 1024, step: int = 256,
+                 window_name: str = "blackmanharris", zeropad: int = 1):
+    """STFT of a (files, time) batch sharded over the mesh.
+
+    Left-aligned frames (center=False): global frame t covers samples
+    [t*step, t*step + n_fft).  Output (files, n_freqs, n_frames) sharded as
+    (files, None, time).  Requires local_len % step == 0.
+    """
+    n_time = mesh.shape["time"]
+    batch, total = x.shape
+    local = total // n_time
+    assert local % step == 0, "local shard length must be a multiple of step"
+    halo = n_fft - step
+    window = jnp.asarray(get_window(window_name, n_fft))
+    n_frames_local = local // step
+
+    def fn(xb):  # xb: (B_local, local)
+        ext = halo_exchange_right(xb, halo, "time", n_time)
+        return _stft_local(ext, n_fft, step, window, zeropad, n_frames_local)
+
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=P("files", "time"),
+        out_specs=P("files", None, "time"),
+    )(x)
+
+
+def istft_sharded(mesh: Mesh, spec, n_fft: int = 1024, step: int = 256,
+                  window_name: str = "blackmanharris"):
+    """Inverse of ``stft_sharded`` (least-squares OLA, periodic interior
+    normalization).  spec: (files, F, T) sharded (files, None, time); returns
+    (files, time) samples."""
+    n_time = mesh.shape["time"]
+    halo = n_fft - step
+    window = np.asarray(get_window(window_name, n_fft), dtype=np.float64)
+    # periodic interior window-sumsquare envelope (one hop period)
+    wss = np.zeros(step)
+    for k in range(n_fft // step + 2):
+        seg = window[k * step:(k + 1) * step] ** 2
+        wss[:len(seg)] += seg
+    wss = np.maximum(wss, np.finfo(np.float32).tiny).astype(np.float32)
+
+    assert n_fft % step == 0, "sharded iSTFT requires hop | n_fft"
+    ratio = n_fft // step
+
+    def fn(sb):  # (B_local, F, T_local)
+        mat = sb * np.sqrt(n_fft)
+        ytmp = jnp.fft.irfft(mat, n=n_fft, axis=-2)  # (B, n_fft, T_local)
+        ytmp = jnp.swapaxes(ytmp, -1, -2) * jnp.asarray(window, jnp.float32)  # (B,T,n_fft)
+        b, t_local, _ = ytmp.shape
+        # overlap-add as ratio static shifted adds over hop blocks: frame t's
+        # j-th hop chunk lands on output block t + j
+        blocks = ytmp.reshape(b, t_local, ratio, step)
+        n_blocks = t_local + ratio - 1  # == (t_local*step + halo) / step
+        acc = jnp.zeros((b, n_blocks, step), ytmp.dtype)
+        for j in range(ratio):
+            acc = acc + jnp.pad(blocks[:, :, j, :], ((0, 0), (j, ratio - 1 - j), (0, 0)))
+        flat = acc.reshape(b, n_blocks * step)
+        local = flat[:, :t_local * step]
+        tail = flat[:, t_local * step:]
+        recv = _right_ppermute(tail, "time", n_time)
+        local = local.at[:, :halo].add(recv)
+        env = jnp.tile(jnp.asarray(wss), t_local)
+        return local / env
+
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=P("files", None, "time"),
+        out_specs=P("files", "time"),
+    )(spec)
+
+
+def _masked_peak_local(spec_local, f0_bin, tol_bins):
+    """Frame-parallel masked peak tracking (device part of the Peak tracker)."""
+    num_bins = spec_local.shape[-2]
+    bins = jnp.arange(num_bins)
+    frames = jnp.swapaxes(spec_local, -1, -2)  # (..., T, F)
+    mask = (bins >= f0_bin - tol_bins) & (bins <= f0_bin + tol_bins)
+    scores = jnp.where(mask, frames, -jnp.inf)
+    peak = jnp.argmax(scores, axis=-1)
+    p = jnp.clip(peak, 1, num_bins - 2)
+    fm1 = jnp.take_along_axis(frames, (p - 1)[..., None], axis=-1)[..., 0]
+    f0 = jnp.take_along_axis(frames, p[..., None], axis=-1)[..., 0]
+    fp1 = jnp.take_along_axis(frames, (p + 1)[..., None], axis=-1)[..., 0]
+    denom = jnp.where(fm1 - 2 * f0 + fp1 == 0, 1e-12, fm1 - 2 * f0 + fp1)
+    return p + 0.5 * (fm1 - fp1) / denom  # refined peak bin per frame
+
+
+def restore_step(mesh: Mesh, x, f0_hz: float, sr: int, n_fft: int = 512,
+                 step: int = 128, tolerance_st: float = 2.0, drift_halo: int = 256):
+    """Full sharded wow/flutter restoration step — the flagship pipeline.
+
+    (files, time) batch -> sharded STFT -> frame-parallel peak tracking ->
+    global speed normalization (psum over time) -> fixed-length varispeed
+    linear resample with a bounded drift halo -> restored (files, time).
+
+    This is the multichip "training step" the dry-run compiles: it exercises
+    STFT halos (ppermute), collectives (psum), and cross-shard gathers.
+    """
+    n_time = mesh.shape["time"]
+    batch, total = x.shape
+    local = total // n_time
+    assert local % step == 0
+    halo = n_fft - step
+    window = jnp.asarray(get_window("hann", n_fft))
+    n_frames_local = local // step
+    f0_bin = int(round(f0_hz * n_fft / sr))
+    tol_bins = max(2, int(round(f0_bin * (2 ** (tolerance_st / 12) - 1))))
+
+    def fn(xb):
+        ext = halo_exchange_right(xb, halo, "time", n_time)
+        spec = _stft_local(ext, n_fft, step, window, 1, n_frames_local)
+        mag = jnp.abs(spec)
+        peak_bins = _masked_peak_local(mag, f0_bin, tol_bins)  # (B, T_local)
+        log_speed = jnp.log2(jnp.maximum(peak_bins, 1.0))
+        # center the speed curve globally: mean over ALL time shards (psum)
+        local_sum = jnp.sum(log_speed, axis=-1, keepdims=True)
+        global_sum = jax.lax.psum(local_sum, "time")
+        mean = global_sum / (n_frames_local * n_time)
+        speed = jnp.power(2.0, log_speed - mean)  # (B, T_local), mean ~1
+        # per-sample speed via frame-rate lerp (frame t covers t*step..)
+        up = jnp.repeat(speed, step, axis=-1)  # (B, local)
+        # fixed-length linear varispeed: positions = cumsum(1/speed) with the
+        # global offset carried via collective prefix sum over shards
+        inv = 1.0 / up
+        local_total = jnp.sum(inv, axis=-1, keepdims=True)
+        all_totals = jax.lax.all_gather(local_total, "time", axis=-1)  # (B,1,D)
+        shard_id = jax.lax.axis_index("time")
+        offset = jnp.sum(jnp.where(jnp.arange(n_time) < shard_id,
+                                   all_totals[:, 0, :], 0.0), axis=-1, keepdims=True)
+        pos = jnp.cumsum(inv, axis=-1) - inv + offset  # global positions
+        # gather within own shard + drift halo from the right neighbor
+        ext_sig = halo_exchange_right(xb, drift_halo, "time", n_time)
+        base = shard_id * local
+        rel = pos - base
+        rel = jnp.clip(rel, 0.0, local + drift_halo - 2.0)
+        i0 = jnp.floor(rel).astype(jnp.int32)
+        frac = (rel - i0).astype(xb.dtype)
+        g0 = jnp.take_along_axis(ext_sig, i0, axis=-1)
+        g1 = jnp.take_along_axis(ext_sig, i0 + 1, axis=-1)
+        return g0 * (1 - frac) + g1 * frac
+
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=P("files", "time"),
+        out_specs=P("files", "time"),
+        check_vma=False,
+    )(x)

@@ -1,0 +1,80 @@
+"""Multi-device tests on the virtual 8-CPU mesh: sharded STFT/iSTFT must
+match the single-device path; the full restore step must run and restore."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyaudiorestoration_tpu.parallel import mesh as pmesh
+from pyaudiorestoration_tpu.parallel import sharded
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    return pmesh.make_mesh(n_files=2, n_time=4)
+
+
+def _reference_stft_leftaligned(x, n_fft, step, window_name="blackmanharris", zeropad=1):
+    from scipy.signal import get_window
+    window = get_window(window_name, n_fft).astype(np.float32)
+    n_est = (len(x) - n_fft) // step + 1
+    out = np.empty((n_fft * zeropad // 2 + 1, n_est), np.complex64)
+    for t in range(n_est):
+        out[:, t] = np.fft.rfft(window * x[t * step:t * step + n_fft], n=n_fft * zeropad)
+    return out / np.sqrt(n_fft)
+
+
+def test_stft_sharded_matches_dense(mesh8, rng):
+    n_fft, step = 512, 128
+    x = rng.standard_normal((2, 8192)).astype(np.float32)
+    xs = pmesh.shard_time_batch(mesh8, x)
+    spec = np.asarray(sharded.stft_sharded(mesh8, xs, n_fft, step))
+    for b in range(2):
+        ref = _reference_stft_leftaligned(x[b], n_fft, step)
+        t = ref.shape[1]
+        np.testing.assert_allclose(spec[b, :, :t], ref, atol=2e-4)
+    # trailing frames (zero halo) exist but are finite
+    assert np.all(np.isfinite(spec))
+
+
+def test_istft_sharded_roundtrip(mesh8, rng):
+    n_fft, step = 512, 128
+    x = rng.standard_normal((2, 8192)).astype(np.float32) * 0.5
+    xs = pmesh.shard_time_batch(mesh8, x)
+    spec = sharded.stft_sharded(mesh8, xs, n_fft, step, window_name="hann")
+    y = np.asarray(sharded.istft_sharded(mesh8, spec, n_fft, step, window_name="hann"))
+    # interior parity: OLA normalization assumes full coverage away from ends
+    sl = slice(n_fft, 8192 - n_fft)
+    err = np.abs(y[:, sl] - x[:, sl]).max()
+    assert err < 1e-3, err
+
+
+def test_restore_step_runs_and_restores(mesh8):
+    """Wobbled tone in, steadier tone out — through the fully sharded step."""
+    sr = 8192
+    n = 4 * sr
+    t = np.arange(n) / sr
+    f0 = 1024.0
+    speed = 1.0 + 0.02 * np.sin(2 * np.pi * 2.0 * t)
+    phase = 2 * np.pi * f0 * np.cumsum(speed) / sr
+    sig = np.sin(phase).astype(np.float32)
+    batch = np.stack([sig, sig])
+    xs = pmesh.shard_time_batch(mesh8, batch)
+    out = np.asarray(sharded.restore_step(mesh8, xs, f0, sr, n_fft=512, step=128))
+    assert out.shape == batch.shape
+    assert np.all(np.isfinite(out))
+
+    def stability(x):
+        idx = np.where(np.bitwise_xor(x[1:] > 0, x[:-1] > 0))[0]
+        frac = x[idx] / (x[idx] - x[idx + 1])
+        cr = idx + frac
+        k = 32
+        avg = (cr[2 * k:] - cr[:-2 * k]) / k
+        fr = 2 * sr / avg
+        core = fr[len(fr) // 8:-len(fr) // 8]
+        return np.std(core) / np.mean(core)
+
+    assert stability(out[0].astype(float)) < stability(sig.astype(float)) * 0.5
