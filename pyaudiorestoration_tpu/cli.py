@@ -1,0 +1,254 @@
+"""Command-line interface for the TPU audio-restoration framework.
+
+The reference ships GUI tools only (no CLI flags anywhere, SURVEY.md §5);
+here every tool pipeline is a subcommand consuming the same JSON project
+formats the GUIs write:
+
+    python -m pyaudiorestoration_tpu respeed   <audio|project.spd> [...]
+    python -m pyaudiorestoration_tpu tapesync  <ref> <src> [...]
+    python -m pyaudiorestoration_tpu heal      <audio> [--project x.drop] [...]
+    python -m pyaudiorestoration_tpu difeq     <src> <ref> -o out [...]
+    python -m pyaudiorestoration_tpu expand    <audio> [...]
+    python -m pyaudiorestoration_tpu humspeed  <audio> [...]
+    python -m pyaudiorestoration_tpu pan       <audio> --project x.pan
+    python -m pyaudiorestoration_tpu renoise   <audio> --noise noise.wav [...]
+    python -m pyaudiorestoration_tpu hpss      <audio> [...]
+    python -m pyaudiorestoration_tpu dropouts-batch <audio> [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+
+def _add_fft_args(p, fft_size=1024, overlap=4, zeropad=1):
+    p.add_argument("--fft-size", type=int, default=fft_size)
+    p.add_argument("--fft-overlap", type=int, default=overlap)
+    p.add_argument("--zeropad", type=int, default=zeropad)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="pyaudiorestoration_tpu",
+                                description="TPU-native audio restoration")
+    p.add_argument("-v", "--verbose", action="store_true")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("respeed", help="wow & flutter removal (pyrespeeder)")
+    sp.add_argument("input", help="audio file or .spd project")
+    sp.add_argument("--mode", default="Peak",
+                    choices=["Peak", "Peak Track", "Center of Gravity",
+                             "Zero-Crossing", "Freehand Draw", "Correlation"])
+    sp.add_argument("--trail", type=float, nargs="+", default=None,
+                    metavar="T F", help="trail points t0 f0 t1 f1 ...")
+    _add_fft_args(sp, 1024, 8, 4)
+    sp.add_argument("--tolerance", type=float, default=1.0)
+    sp.add_argument("--resampling-mode", default="Sinc", choices=["Sinc", "Linear"])
+    sp.add_argument("--sinc-quality", type=int, default=50)
+    sp.add_argument("--suffix", default="")
+
+    sp = sub.add_parser("tapesync", help="align source to reference (pytapesynch)")
+    sp.add_argument("reference")
+    sp.add_argument("source", nargs="?", help="omit when reference is a .tapesync project")
+    sp.add_argument("--windows", type=int, default=8)
+    sp.add_argument("--window-s", type=float, default=1.0)
+    sp.add_argument("--lower", type=float, default=100.0)
+    sp.add_argument("--upper", type=float, default=None)
+    sp.add_argument("--smoothing", type=int, default=3)
+    sp.add_argument("--sinc-quality", type=int, default=50)
+    sp.add_argument("--suffix", default="")
+
+    sp = sub.add_parser("heal", help="dropout healing (dropout_healer)")
+    sp.add_argument("input")
+    sp.add_argument("--project", help=".drop project with markers")
+    sp.add_argument("--detect", nargs=4, type=float, metavar=("T0", "T1", "F0", "F1"),
+                    help="auto-detect inside this region instead")
+    sp.add_argument("--width-ms", type=float, default=20.0)
+    sp.add_argument("--sensitivity", type=float, default=5.0)
+    _add_fft_args(sp, 512, 16)
+    sp.add_argument("--suffix", default="")
+
+    sp = sub.add_parser("dropouts-batch", help="batch heuristic dropout repair")
+    sp.add_argument("inputs", nargs="+")
+    sp.add_argument("--mode", default="Heuristic", choices=["Heuristic", "MaxMono"])
+    _add_fft_args(sp, 1024, 4)
+
+    sp = sub.add_parser("difeq", help="differential EQ (difeq)")
+    sp.add_argument("source")
+    sp.add_argument("reference")
+    sp.add_argument("-o", "--output", required=True, help="output base path (.txt)")
+    sp.add_argument("--channels", default="L+R", choices=["L+R", "L", "R"])
+    sp.add_argument("--smoothing", type=int, default=50)
+    sp.add_argument("--strength", type=float, default=1.0)
+    sp.add_argument("--keep-gain", action="store_true")
+    sp.add_argument("--highpass", type=float, default=0)
+    sp.add_argument("--rolloff-start", type=float, default=21000)
+    sp.add_argument("--rolloff-end", type=float, default=22000)
+
+    sp = sub.add_parser("expand", help="spectral expander (expander)")
+    sp.add_argument("input")
+    sp.add_argument("--channels", default="L+R", choices=["L+R", "L", "R", "Mean"])
+    sp.add_argument("--band-lower", type=float, default=13000)
+    sp.add_argument("--band-upper", type=float, default=17000)
+    sp.add_argument("--clip-lower", type=float, default=-120)
+    sp.add_argument("--clip-upper", type=float, default=-85)
+    sp.add_argument("--smoothing-s", type=float, default=0.11)
+    sp.add_argument("--transition", type=float, default=0)
+    sp.add_argument("--order", type=int, default=1)
+
+    sp = sub.add_parser("humspeed", help="hum-based speed analysis/correction")
+    sp.add_argument("input")
+    sp.add_argument("--base-hum", type=int, default=50)
+    sp.add_argument("--harmonies", type=int, default=2)
+    sp.add_argument("--tolerance", type=float, default=8)
+    sp.add_argument("--analyze-only", action="store_true")
+
+    sp = sub.add_parser("pan", help="pan matching (pypan)")
+    sp.add_argument("input")
+    sp.add_argument("--project", required=True, help=".pan project with markers")
+
+    sp = sub.add_parser("renoise", help="renoiser / denoiser")
+    sp.add_argument("input")
+    sp.add_argument("--noise", help="noise profile audio file")
+    sp.add_argument("--selection", nargs=2, type=float, metavar=("T0", "T1"),
+                    help="noise span inside the input")
+    sp.add_argument("--gain", type=float, default=-40.0)
+    sp.add_argument("--overhead", type=float, default=0.0)
+    _add_fft_args(sp, 1024, 4)
+
+    sp = sub.add_parser("hpss", help="harmonic/percussive separation")
+    sp.add_argument("inputs", nargs="+")
+    sp.add_argument("--kernel", type=int, default=31)
+    sp.add_argument("--power", type=float, default=2.0)
+    sp.add_argument("--margin", type=float, default=1.0)
+    _add_fft_args(sp, 2048, 4)
+
+    sp = sub.add_parser("bench", help="run the benchmark")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.DEBUG if args.verbose else logging.INFO,
+                        format="%(levelname)s | %(message)s")
+    if args.cmd == "respeed":
+        from .pipelines import respeeder
+        if args.input.endswith(".spd"):
+            out = respeeder.run_project(args.input, out_suffix=args.suffix)
+        else:
+            trail = None
+            if args.trail:
+                pts = args.trail
+                trail = [(pts[i], pts[i + 1]) for i in range(0, len(pts), 2)]
+            out = respeeder.restore_file(
+                args.input, mode=args.mode, fft_size=args.fft_size,
+                fft_overlap=args.fft_overlap, zeropad=args.zeropad,
+                tolerance=args.tolerance, trail=trail,
+                resampling_mode=args.resampling_mode,
+                sinc_quality=args.sinc_quality, suffix=args.suffix)
+        print(json.dumps({"outputs": out}))
+    elif args.cmd == "tapesync":
+        from .pipelines import tapesynch
+        from .utils import project
+        ref, src = args.reference, args.source
+        if ref.endswith(".tapesync"):
+            proj = project.Project.load(ref)
+            ref = proj.settings.get("reference")
+            src = src or proj.settings.get("source")
+        paths, samples, curve = tapesynch.align_files(
+            ref, src, out_suffix=args.suffix, num_windows=args.windows,
+            window_s=args.window_s, lower=args.lower, upper=args.upper,
+            smoothing=args.smoothing, sinc_quality=args.sinc_quality)
+        print(json.dumps({"outputs": paths,
+                          "lags": [s.to_cfg() for s in samples]}))
+    elif args.cmd == "heal":
+        from .pipelines import dropouts
+        from .utils import audio_io, project
+        from .ops import fourier, units
+        import numpy as np
+        if args.project:
+            proj = project.Project.load(args.project)
+            drops = proj.marker_list("dropouts")
+            fft_size, overlap = proj.fft_size, proj.fft_overlap
+        else:
+            fft_size, overlap = args.fft_size, args.fft_overlap
+            signal, sr, _ = audio_io.read_file(args.input)
+            hop = fft_size // overlap
+            mag = np.asarray(fourier.get_mag(signal[:, 0], fft_size, hop))
+            t0, t1, f0, f1 = args.detect
+            drops = dropouts.detect_dropouts(units.to_dB(mag), sr, hop, fft_size,
+                                             t0, t1, f0, f1, args.width_ms,
+                                             args.sensitivity)
+        out = dropouts.heal_file(args.input, drops, fft_size, overlap,
+                                 suffix=args.suffix)
+        print(json.dumps({"outputs": [out], "num_dropouts": len(drops)}))
+    elif args.cmd == "dropouts-batch":
+        from .pipelines import dropouts
+        outs = []
+        for path in args.inputs:
+            if args.mode == "Heuristic":
+                outs.append(dropouts.process_heuristic(path, args.fft_size,
+                                                       args.fft_overlap))
+            else:
+                outs.extend(dropouts.process_max_mono(path, args.fft_size,
+                                                      args.fft_overlap))
+        print(json.dumps({"outputs": outs}))
+    elif args.cmd == "difeq":
+        from .pipelines import difeq
+        base = args.output[:-4] if args.output.endswith(".txt") else args.output
+        freqs_av, av, paths = difeq.difeq_files(
+            args.source, args.reference, base, channel_mode=args.channels,
+            smoothing=args.smoothing, strength=args.strength,
+            keep_gain=args.keep_gain, highpass=args.highpass,
+            rolloff_start=args.rolloff_start, rolloff_end=args.rolloff_end)
+        print(json.dumps({"outputs": paths}))
+    elif args.cmd == "expand":
+        from .pipelines import expander
+        out = expander.expand_file(
+            args.input, channel_mode=args.channels, band_lower=args.band_lower,
+            band_upper=args.band_upper, clip_lower=args.clip_lower,
+            clip_upper=args.clip_upper, smoothing_s=args.smoothing_s,
+            transition=args.transition, order=args.order)
+        print(json.dumps({"outputs": [out]}))
+    elif args.cmd == "humspeed":
+        from .pipelines import humspeed
+        matches = humspeed.analyze_hum(args.input, base_hum=args.base_hum,
+                                       num_harmonies=args.harmonies,
+                                       tolerance=args.tolerance)
+        if args.analyze_only or not matches:
+            print(json.dumps({"matches": matches}))
+        else:
+            out = humspeed.resample_file(args.input, ratio=matches[-1]["ratio"])
+            print(json.dumps({"matches": matches, "outputs": [out]}))
+    elif args.cmd == "pan":
+        from .pipelines import pan
+        from .utils import project
+        proj = project.Project.load(args.project)
+        out = pan.pan_file(args.input, proj.marker_list("markers"))
+        print(json.dumps({"outputs": [out]}))
+    elif args.cmd == "renoise":
+        from .pipelines import renoiser
+        out = renoiser.process_file(
+            args.input, noise_path=args.noise,
+            selection=tuple(args.selection) if args.selection else None,
+            gain=args.gain, overhead=args.overhead, fft_size=args.fft_size,
+            fft_overlap=args.fft_overlap)
+        print(json.dumps({"outputs": [out]}))
+    elif args.cmd == "hpss":
+        from .pipelines import hpss_tool
+        outs = []
+        for path in args.inputs:
+            outs.extend(hpss_tool.separate_file(path, args.fft_size,
+                                                args.fft_overlap, args.kernel,
+                                                args.power, args.margin))
+        print(json.dumps({"outputs": outs}))
+    elif args.cmd == "bench":
+        import runpy
+        runpy.run_path("bench.py", run_name="__main__")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,198 @@
+"""Device-resident wow/flutter restoration — the performance path.
+
+The portable pipeline (respeeder.py) moves the spectrogram and the position
+curve through the host; that costs HBM<->host bandwidth which dominates end
+to end.  This module keeps the whole hot path on the TPU:
+
+  upload signal once
+   -> jit A: STFT -> banded peak tracking -> speed curve        (device)
+   -> host: tiny position plan (segment counts + f64 base offsets, ~100 KB)
+   -> jit B: two-level position reconstruction + windowed-sinc resample
+             on a (segments, max_n) padded grid                  (device)
+
+Host<->device traffic beyond the signal upload is ~100 KB regardless of
+audio length.  The position plan keeps the reference's exact semantics
+(dithered per-segment output counts, resampling.py:93-137): segment base
+offsets are computed in float64 on the host, within-segment offsets in
+float32 on device (bounded by one hop, so exactly representable).
+
+The padded-grid sinc is the same math as ops/resampling.py (2*NT taps,
+hann(2NT+1)[:2NT], adaptive cutoff) with fc = min(block_speed, 1) — the
+reference's 1/(p[i+1]-p[i]) evaluated in closed form.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fourier import get_window
+from ..ops.resampling import _sinc_window
+
+__all__ = ["track_speed_device", "plan_positions", "sinc_padded_device",
+           "restore_device", "compact_output"]
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "step", "zeropad", "window_name"))
+def track_speed_device(x, NL, NU, n_fft: int, step: int, zeropad: int = 1,
+                       window_name: str = "blackmanharris"):
+    """STFT + banded peak tracking + speed normalization, all on device.
+
+    x: (n,) waveform.  NL/NU: per-frame band limits (int32 device arrays).
+    Returns speeds (T,) centered on ~1.0 (the Peak tracker + TraceLine
+    normalization, wow_detection.py:294-304 + markers.py:190-192).
+    """
+    window = jnp.asarray(get_window(window_name, n_fft))
+    xp = jnp.pad(x.astype(jnp.float32), n_fft // 2, mode="reflect")
+    n_frames = (xp.shape[0] - n_fft) // step + 1
+    idx = np.arange(n_frames)[:, None] * step + np.arange(n_fft)[None, :]
+    frames = xp[idx] * window
+    spec = jnp.fft.rfft(frames, n=n_fft * zeropad, axis=-1) / np.sqrt(n_fft)
+    mag = jnp.abs(spec) + 1e-7  # (T, F)
+    num_bins = mag.shape[-1]
+    bins = jnp.arange(num_bins)
+    mask = (bins[None, :] >= NL[:, None]) & (bins[None, :] < NU[:, None])
+    scores = jnp.where(mask, mag, -jnp.inf)
+    peak = jnp.argmax(scores, axis=-1)
+    p = jnp.clip(peak, 1, num_bins - 2)
+    fm1 = jnp.take_along_axis(mag, (p - 1)[:, None], -1)[:, 0]
+    f0 = jnp.take_along_axis(mag, p[:, None], -1)[:, 0]
+    fp1 = jnp.take_along_axis(mag, (p + 1)[:, None], -1)[:, 0]
+    denom = jnp.where(fm1 - 2 * f0 + fp1 == 0, 1e-12, fm1 - 2 * f0 + fp1)
+    xv = 0.5 * (fm1 - fp1) / denom + p
+    is_peak = (fm1 < f0) & (f0 > fp1) & (peak == p)
+    refined = jnp.where(is_peak, xv, peak.astype(xv.dtype))
+    log_speed = jnp.log2(jnp.maximum(refined, 1.0))
+    return jnp.power(2.0, log_speed - jnp.mean(log_speed))
+
+
+def plan_positions(speeds_np, hop: int, num_input_samples: int, t0_samples: float = 0.0):
+    """Host-side position plan from a frame-rate speed curve (float64, tiny).
+
+    Returns a dict with per-segment output counts ``n``, float64 base offsets
+    split into (int32, float32), segment output starts, n_out and max_n.
+    Mirrors the reference's dithering exactly (resampling.py:107-137) via the
+    rounded-cumsum closed form.
+    """
+    speeds = np.asarray(speeds_np, dtype=np.float64)
+    T = len(speeds) - 1
+    n_raw = hop * (speeds[:-1] + speeds[1:]) / 2.0
+    cum = np.cumsum(n_raw)
+    n = np.diff(np.round(np.concatenate([[0.0], cum]))).astype(np.int64)
+    n = np.maximum(n, 0)
+    max_n = int(n.max()) if T else 0
+    # exact segment advance A_i = sum_k 1/bs_(i,k) on the padded grid (f64)
+    k = np.arange(max_n)[None, :]
+    denom = np.maximum(n[:, None] - 1, 1).astype(np.float64)
+    bs = speeds[:-1, None] + k / denom * (speeds[1:, None] - speeds[:-1, None])
+    inv = np.where(k < n[:, None], 1.0 / bs, 0.0)
+    A = inv.sum(axis=1)
+    base = t0_samples + np.concatenate([[0.0], np.cumsum(A)[:-1]])
+    starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+    # end trim (reference: nearest position to the input end)
+    ends = base + A
+    n_out = int(n.sum())
+    over = np.nonzero(ends >= num_input_samples)[0]
+    if len(over):
+        i = over[0]
+        # refine inside segment i: count positions <= crossing
+        rel = np.cumsum(inv[i])
+        j = int(np.argmin(np.abs(base[i] + rel[: max(1, n[i])] - num_input_samples)))
+        n_out = int(starts[i] + j)
+    base_int = np.floor(base).astype(np.int32)
+    base_frac = (base - base_int).astype(np.float32)
+    return {
+        "n": n.astype(np.int32), "base_int": base_int, "base_frac": base_frac,
+        "starts": starts.astype(np.int64), "max_n": max_n, "n_out": n_out,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("max_n", "nt", "tile"))
+def sinc_padded_device(sig, speeds, n, base_int, base_frac, max_n: int,
+                       nt: int = 50, tile: int = 64):
+    """Two-level varispeed windowed-sinc resample on a padded segment grid.
+
+    sig (N,), speeds (T+1,), n (T,), base_int/base_frac (T,).
+    Returns (T, max_n) padded output; entries with k >= n[i] are zero.
+    """
+    n_in = sig.shape[0]
+    T = n.shape[0]
+    offs = np.arange(-nt, nt, dtype=np.int32)
+    win = jnp.asarray(_sinc_window(nt))
+    pad_t = (-T) % tile
+    if pad_t:
+        speeds_lo = jnp.pad(speeds[:-1], (0, pad_t), constant_values=1.0)
+        speeds_hi = jnp.pad(speeds[1:], (0, pad_t), constant_values=1.0)
+        n_p = jnp.pad(n, (0, pad_t))
+        bi_p = jnp.pad(base_int, (0, pad_t))
+        bf_p = jnp.pad(base_frac, (0, pad_t))
+    else:
+        speeds_lo, speeds_hi = speeds[:-1], speeds[1:]
+        n_p, bi_p, bf_p = n, base_int, base_frac
+    k = jnp.arange(max_n, dtype=jnp.float32)[None, :]
+
+    def one_tile(args):
+        s_lo, s_hi, nn, bi, bf = args
+        denom = jnp.maximum(nn[:, None] - 1, 1).astype(jnp.float32)
+        bs = s_lo[:, None] + k / denom * (s_hi[:, None] - s_lo[:, None])
+        valid = k < nn[:, None].astype(jnp.float32)
+        inv = jnp.where(valid, 1.0 / bs, 0.0)
+        rel = jnp.cumsum(inv, axis=1) + bf[:, None]  # local position, < hop*speed+1
+        ind_local = jnp.round(rel).astype(jnp.int32)
+        shift = rel - ind_local
+        fc = jnp.minimum(bs, 1.0)
+        ind = bi[:, None] + ind_local  # (tile, max_n) absolute anchors
+        idx = ind[:, :, None] + offs[None, None, :]
+        in_range = (idx >= 0) & (idx < n_in)
+        g = sig[jnp.clip(idx, 0, n_in - 1)]
+        xw = (offs[None, None, :].astype(jnp.float32) - shift[:, :, None]) * fc[:, :, None]
+        w = jnp.sinc(xw) * fc[:, :, None] * win[None, None, :]
+        out = jnp.sum(jnp.where(in_range, g * w, 0.0), axis=-1)
+        return jnp.where(valid, out, 0.0)
+
+    n_tiles = (T + pad_t) // tile
+    res = jax.lax.map(one_tile, (
+        speeds_lo.reshape(n_tiles, tile), speeds_hi.reshape(n_tiles, tile),
+        n_p.reshape(n_tiles, tile), bi_p.reshape(n_tiles, tile),
+        bf_p.reshape(n_tiles, tile)))
+    return res.reshape(-1, max_n)[:T]
+
+
+def compact_output(padded_np, plan):
+    """Host: padded (T, max_n) -> flat (n_out,) using the segment counts."""
+    T, max_n = padded_np.shape
+    k = np.arange(max_n)[None, :]
+    mask = k < plan["n"][:, None]
+    return padded_np[mask][: plan["n_out"]].astype(np.float32)
+
+
+def restore_device(sig_dev, sr: int, f0_hz: float, tolerance_st: float = 1.0,
+                   fft_size: int = 4096, fft_overlap: int = 8, zeropad: int = 2,
+                   sinc_quality: int = 50):
+    """Full device-resident restoration around a fixed target frequency.
+
+    Returns (padded_out_device, plan).  Only ~100 KB crosses the host
+    boundary (the frame-rate speed curve + the position plan).
+    """
+    hop = fft_size // fft_overlap
+    n = int(sig_dev.shape[0])
+    n_frames = (n + (fft_size // 2) * 2 - fft_size) // hop + 1
+    num_bins = fft_size * zeropad // 2 + 1
+    tol = tolerance_st / 12.0
+    fL = max(1.0, f0_hz * 2 ** (-tol))
+    fU = min(sr / 2, f0_hz * 2 ** tol)
+    NL = max(1, min(num_bins - 1, int(round(fL * fft_size * zeropad / sr))))
+    NU = max(1, min(num_bins - 1, int(round(fU * fft_size * zeropad / sr))))
+    NLs = jnp.full((n_frames,), NL, jnp.int32)
+    NUs = jnp.full((n_frames,), NU, jnp.int32)
+    speeds = track_speed_device(sig_dev, NLs, NUs, fft_size, hop, zeropad)
+    speeds_np = np.asarray(speeds)  # ~T floats, the only mid-pipe download
+    plan = plan_positions(speeds_np, hop, n)
+    padded = sinc_padded_device(
+        sig_dev, jnp.asarray(speeds_np.astype(np.float32)),
+        jnp.asarray(plan["n"]), jnp.asarray(plan["base_int"]),
+        jnp.asarray(plan["base_frac"]), int(plan["max_n"]), int(sinc_quality))
+    return padded, plan
