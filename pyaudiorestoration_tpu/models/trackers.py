@@ -282,6 +282,69 @@ def trace_correlation(spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1
     return times, np.power(2.0, log_mean + speed)
 
 
+def adapt_band(freqs, num_bins, freq_2_bin, tolerance, adaptation_mode, i):
+    """Predict the next detection band from recent peaks
+    (wow_detection.py:142-187; UI-hidden in the reference).
+
+    Returns (NL, NU, window, logfreq): bin limits, a triangular emphasis
+    window over the band, and the predicted log2 frequency.
+    """
+    logfreq = np.log2(freqs[i])
+    if adaptation_mode in ("None", "Constant"):
+        pass
+    elif adaptation_mode == "Linear":
+        if len(freqs) > 1:
+            delta = logfreq - np.log2(freqs[i - 2])
+            logfreq += delta
+    elif adaptation_mode == "Average":
+        logfreqs = np.log2(freqs[max(0, i - 3):i + 1])
+        deltas = np.diff(logfreqs)
+        logfreq = logfreqs[0]
+        if len(deltas):
+            logfreq += np.nanmean(deltas) * len(logfreqs)
+    fL = np.power(2, (logfreq - tolerance / 12))
+    fU = np.power(2, (logfreq + tolerance / 12))
+    NL = max(1, min(num_bins - 3, int(round(fL * freq_2_bin))))
+    NU = min(num_bins - 2, max(1, int(round(fU * freq_2_bin))))
+    if NU - NL > 5:
+        window = np.interp(np.arange(NL, NU),
+                           (NL, np.power(2, logfreq) * freq_2_bin, NU - 1), (0, 1, 0))
+    else:
+        window = np.ones(NU - NL)
+    return NL, NU, window, logfreq
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _local_peaks_device(frames, threshold_frac):
+    """All local spectral maxima per frame above a fraction of the frame max."""
+    fm1 = frames[:, :-2]
+    f0 = frames[:, 1:-1]
+    fp1 = frames[:, 2:]
+    is_peak = (f0 > fm1) & (f0 > fp1)
+    strong = f0 > threshold_frac * jnp.max(frames, axis=-1, keepdims=True)
+    denom = jnp.where(fm1 - 2 * f0 + fp1 == 0, 1e-12, fm1 - 2 * f0 + fp1)
+    refined = jnp.arange(1, frames.shape[-1] - 1)[None, :] + 0.5 * (fm1 - fp1) / denom
+    keep = is_peak & strong
+    return jnp.where(keep, refined, 0.0), jnp.where(keep, f0, 0.0)
+
+
+def trace_partials(spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1.0,
+                   adaptation_mode="Linear", threshold=0.15):
+    """Partial tracking diagnostic (wow_detection.py:361-387 uses librosa
+    piptrack and only plots).  Returns per-frame (pitches_hz, magnitudes)
+    arrays of all local peaks inside the trail band — device-vectorized."""
+    g = _Grid(spectrum, fft_size, hop, sr, tolerance_st)
+    frame_0, frame_1, times, freqs = g.sample_trail(trail)
+    fl, fu = float(np.min(freqs)), float(np.max(freqs))
+    bl = max(1, int(fl * fft_size / sr))
+    bu = min(g.num_bins - 1, int(np.ceil(fu * fft_size / sr)))
+    frames = jnp.asarray(spectrum)[bl:bu, frame_0:frame_1].T
+    bins, mags = _local_peaks_device(frames, threshold)
+    pitches = np.asarray(bins)
+    pitches = np.where(pitches > 0, (pitches + bl) / fft_size * sr, 0.0)
+    return times, pitches, np.asarray(mags)
+
+
 def fit_sin(tt, yy, assumed_freq=None):
     """FFT-seeded sine regression (wow_detection.py:190-228).
 
@@ -339,6 +402,8 @@ wow_detectors = {
     "Zero-Crossing": trace_zero_crossing,
     "Freehand Draw": trace_freehand,
     "Correlation": trace_correlation,
+    # 'Partials' (wow_detection.py:361-387) is a diagnostic that returns
+    # per-frame peak stacks rather than one curve: see trace_partials
 }
 
 
