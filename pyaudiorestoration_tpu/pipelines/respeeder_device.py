@@ -104,9 +104,14 @@ def plan_positions(speeds_np, hop: int, num_input_samples: int, t0_samples: floa
         n_out = int(starts[i] + j)
     base_int = np.floor(base).astype(np.int32)
     base_frac = (base - base_int).astype(np.float32)
+    # drift bound for the banded kernel: max |anchor - output index| in-segment
+    rel = np.cumsum(inv, axis=1) + base_frac[:, None]
+    m = np.where(k < n[:, None], np.abs(np.round(rel) - k), 0)
+    drift = int(m.max()) + 1 if m.size else 1
     return {
         "n": n.astype(np.int32), "base_int": base_int, "base_frac": base_frac,
         "starts": starts.astype(np.int64), "max_n": max_n, "n_out": n_out,
+        "drift": drift,
     }
 
 
@@ -161,6 +166,53 @@ def sinc_padded_device(sig, speeds, n, base_int, base_frac, max_n: int,
     return res.reshape(-1, max_n)[:T]
 
 
+@functools.partial(jax.jit, static_argnames=("max_n", "nt", "drift"))
+def sinc_banded_device(sig, speeds, n, base_int, base_frac, max_n: int,
+                       nt: int = 50, drift: int = 32):
+    """Gather-free banded windowed-sinc varispeed resampler.
+
+    Since restoration speeds stay near 1, the within-segment anchor drifts
+    from the output index by at most ``drift`` samples.  One contiguous
+    window per segment is fetched, and the 2*NT taps become ``2*(NT+drift)``
+    static shift-multiply-accumulate passes on the VPU — no per-tap gather
+    (TPU gathers are scalar-rate; this is the speed-of-light formulation).
+    Output matches ``sinc_padded_device`` exactly where |anchor - k| <= drift.
+    """
+    n_in = sig.shape[0]
+    T = n.shape[0]
+    U = nt + drift
+    L = max_n + 2 * U
+    kf = jnp.arange(max_n, dtype=jnp.float32)[None, :]
+    ki = jnp.arange(max_n, dtype=jnp.int32)[None, :]
+    denom = jnp.maximum(n[:, None] - 1, 1).astype(jnp.float32)
+    bs = speeds[:-1, None] + kf / denom * (speeds[1:, None] - speeds[:-1, None])
+    in_seg = ki < n[:, None]
+    inv = jnp.where(in_seg, 1.0 / bs, 0.0)
+    rel = jnp.cumsum(inv, axis=1) + base_frac[:, None]
+    ind_local = jnp.round(rel).astype(jnp.int32)
+    shift = rel - ind_local
+    fc = jnp.minimum(bs, 1.0)
+    m = ind_local - ki  # |m| <= drift by construction
+
+    start = base_int - U  # (T,)
+    idx = start[:, None] + np.arange(L)[None, :]
+    buf = jnp.where((idx >= 0) & (idx < n_in), sig[jnp.clip(idx, 0, n_in - 1)], 0.0)
+
+    def body(v, out):
+        jj = (v - U) - m  # tap index for each (segment, k)
+        valid = (jj >= -nt) & (jj < nt) & in_seg
+        jf = jj.astype(jnp.float32)
+        x = (jf - shift) * fc
+        hann = 0.5 - 0.5 * jnp.cos(np.pi * (jf + nt) / nt)
+        w = jnp.where(valid, jnp.sinc(x) * fc * hann, 0.0)
+        seg = jax.lax.dynamic_slice_in_dim(buf, v, max_n, axis=1)
+        return out + seg * w
+
+    out = jax.lax.fori_loop(0, 2 * U, body,
+                            jnp.zeros((T, max_n), jnp.float32))
+    return out
+
+
 def compact_output(padded_np, plan):
     """Host: padded (T, max_n) -> flat (n_out,) using the segment counts."""
     T, max_n = padded_np.shape
@@ -191,8 +243,13 @@ def restore_device(sig_dev, sr: int, f0_hz: float, tolerance_st: float = 1.0,
     speeds = track_speed_device(sig_dev, NLs, NUs, fft_size, hop, zeropad)
     speeds_np = np.asarray(speeds)  # ~T floats, the only mid-pipe download
     plan = plan_positions(speeds_np, hop, n)
-    padded = sinc_padded_device(
+    # bucket the drift bound so jit caches stay warm across takes
+    drift = 8
+    while drift < plan["drift"]:
+        drift *= 2
+    padded = sinc_banded_device(
         sig_dev, jnp.asarray(speeds_np.astype(np.float32)),
         jnp.asarray(plan["n"]), jnp.asarray(plan["base_int"]),
-        jnp.asarray(plan["base_frac"]), int(plan["max_n"]), int(sinc_quality))
+        jnp.asarray(plan["base_frac"]), int(plan["max_n"]), int(sinc_quality),
+        drift)
     return padded, plan
