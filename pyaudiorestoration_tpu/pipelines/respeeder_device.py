@@ -115,6 +115,64 @@ def plan_positions(speeds_np, hop: int, num_input_samples: int, t0_samples: floa
     }
 
 
+def plan_positions_fast(speeds_np, hop: int, num_input_samples: int,
+                        t0_samples: float = 0.0):
+    """O(n_segments) position plan via the exact digamma closed form.
+
+    The per-segment advance ``A_i = sum_k 1/(a + c k)`` equals
+    ``(psi(a/c + n) - psi(a/c)) / c`` exactly (digamma recurrence), so the
+    5M-element reciprocal grid of :func:`plan_positions` collapses to two
+    digamma evaluations per segment.  Same outputs (float64 parity ~1e-9).
+    """
+    from scipy.special import digamma
+
+    speeds = np.asarray(speeds_np, dtype=np.float64)
+    n_raw = hop * (speeds[:-1] + speeds[1:]) / 2.0
+    cum = np.cumsum(n_raw)
+    n = np.diff(np.round(np.concatenate([[0.0], cum]))).astype(np.int64)
+    n = np.maximum(n, 0)
+    max_n = int(n.max()) if len(n) else 0
+    a = speeds[:-1].copy()
+    b = speeds[1:].copy()
+    # use the positive-slope orientation so digamma args stay positive
+    swap = b < a
+    a2 = np.where(swap, b, a)
+    b2 = np.where(swap, a, b)
+    denom = np.maximum(n - 1, 1)
+    c = (b2 - a2) / denom
+    tiny = np.abs(c) < 1e-12
+    c_safe = np.where(tiny, 1.0, c)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        A_slope = (digamma(a2 / c_safe + n) - digamma(a2 / c_safe)) / c_safe
+    A = np.where(tiny | (n <= 1), np.where(n >= 1, n / a2, 0.0), A_slope)
+    # n == 1 single-sample segments evaluate bs at k=0 -> 1/a (original a!)
+    one = n == 1
+    if one.any():
+        A[one] = 1.0 / a[one]
+    base = t0_samples + np.concatenate([[0.0], np.cumsum(A)[:-1]])
+    starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+    ends = base + A
+    n_out = int(n.sum())
+    over = np.nonzero(ends >= num_input_samples)[0]
+    if len(over):
+        i = over[0]
+        k = np.arange(max(1, n[i]))
+        bs = speeds[i] + k / max(n[i] - 1, 1) * (speeds[i + 1] - speeds[i])
+        rel = np.cumsum(1.0 / bs)
+        j = int(np.argmin(np.abs(base[i] + rel - num_input_samples)))
+        n_out = int(starts[i] + j)
+    base_int = np.floor(base).astype(np.int32)
+    base_frac = (base - base_int).astype(np.float32)
+    # analytic drift bound: |anchor - k| <= max_n * max|1/speed - 1| + 2
+    dmax = float(np.max(np.abs(1.0 / speeds - 1.0))) if len(speeds) else 0.0
+    drift = int(np.ceil(max_n * dmax)) + 2
+    return {
+        "n": n.astype(np.int32), "base_int": base_int, "base_frac": base_frac,
+        "starts": starts.astype(np.int64), "max_n": max_n, "n_out": n_out,
+        "drift": drift,
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("max_n", "nt", "tile"))
 def sinc_padded_device(sig, speeds, n, base_int, base_frac, max_n: int,
                        nt: int = 50, tile: int = 64):
@@ -242,7 +300,7 @@ def restore_device(sig_dev, sr: int, f0_hz: float, tolerance_st: float = 1.0,
     NUs = jnp.full((n_frames,), NU, jnp.int32)
     speeds = track_speed_device(sig_dev, NLs, NUs, fft_size, hop, zeropad)
     speeds_np = np.asarray(speeds)  # ~T floats, the only mid-pipe download
-    plan = plan_positions(speeds_np, hop, n)
+    plan = plan_positions_fast(speeds_np, hop, n)
     # bucket the drift bound so jit caches stay warm across takes
     drift = 8
     while drift < plan["drift"]:

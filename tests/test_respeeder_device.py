@@ -28,6 +28,27 @@ def test_plan_positions_matches_host_speed_to_pos():
     np.testing.assert_allclose(flat, ref[: len(flat)], atol=1e-6)
 
 
+def test_plan_positions_fast_matches_direct():
+    """Digamma closed-form plan == direct-grid plan (incl. falling speeds,
+    constant segments and the end trim)."""
+    hop = 512
+    rng = np.random.default_rng(9)
+    for speeds in [
+        1.0 + 0.04 * np.sin(np.arange(300) * 0.07),
+        np.concatenate([np.full(50, 1.0), np.linspace(1.0, 0.9, 100),
+                        np.full(50, 0.9)]),
+        1.0 + 0.002 * rng.standard_normal(200),
+    ]:
+        num_input = (len(speeds) - 1) * hop
+        ref = rdev.plan_positions(speeds, hop, num_input)
+        fast = rdev.plan_positions_fast(speeds, hop, num_input)
+        np.testing.assert_array_equal(fast["n"], ref["n"])
+        np.testing.assert_array_equal(fast["base_int"], ref["base_int"])
+        np.testing.assert_allclose(fast["base_frac"], ref["base_frac"], atol=1e-5)
+        assert abs(fast["n_out"] - ref["n_out"]) <= 1
+        assert fast["drift"] >= ref["drift"]
+
+
 def test_sinc_padded_matches_flat_sinc():
     sr = 8000
     hop = 256
