@@ -50,12 +50,23 @@ def main():
     sig_dev = jax.device_put(jnp.asarray(big))
     sig_dev.block_until_ready()
 
+    fft_size, overlap, zp, q = 4096, 8, 2, 50
+    hop = fft_size // overlap
+    n = len(big)
+    tol = 1.0 / 12
+    num_bins = fft_size * zp // 2 + 1
+    NL = max(1, min(num_bins - 1, int(round(max(1.0, f0 * 2 ** -tol) * fft_size * zp / sr))))
+    NU = max(1, min(num_bins - 1, int(round(min(sr / 2, f0 * 2 ** tol) * fft_size * zp / sr))))
+    n_frames = (n + (fft_size // 2) * 2 - fft_size) // hop + 1
+    NLs = jax.device_put(jnp.full((n_frames,), NL, jnp.int32))
+    NUs = jax.device_put(jnp.full((n_frames,), NU, jnp.int32))
+    max_n = int(hop * 1.1)
+
     def run():
-        padded, plan = rdev.restore_device(sig_dev, sr, f0, fft_size=4096,
-                                           fft_overlap=8, zeropad=2,
-                                           sinc_quality=50)
+        padded = rdev.restore_fused_device(sig_dev, NLs, NUs, fft_size, hop, zp,
+                                           max_n, q, 64)
         padded.block_until_ready()
-        return plan
+        return padded
 
     run()  # compile
     times = []

@@ -27,8 +27,8 @@ def _median_last_axis(x, size: int):
     cfg = [(0, 0)] * (x.ndim - 1) + [(pad_lo, pad_hi)]
     xp = jnp.pad(x, cfg, mode="symmetric")  # scipy 'reflect' == numpy 'symmetric'
     n = x.shape[-1]
-    idx = np.arange(n)[:, None] + np.arange(size)[None, :]
-    windows = xp[..., idx]  # (..., n, size)
+    # size static shifted views (no gather, no index constants)
+    windows = jnp.stack([xp[..., j:j + n] for j in range(size)], axis=-1)
     return jnp.sort(windows, axis=-1)[..., size // 2]
 
 

@@ -56,12 +56,25 @@ def n_frames_for(n_samples: int, n_fft: int, step: int, center: bool = True) -> 
 
 
 def frame_signal(x, n_fft: int, step: int, center: bool = True):
-    """Slice a 1D signal into overlapping frames, shape (n_frames, n_fft)."""
+    """Slice a 1D signal into overlapping frames, shape (n_frames, n_fft).
+
+    When ``step`` divides ``n_fft`` (the usual power-of-two overlap), frames
+    are built from ``n_fft//step`` static shifted views of a (blocks, step)
+    reshape — no gather and no index constants (a naive index-matrix gather
+    bakes an O(n_frames * n_fft) constant into the XLA program).
+    """
     if center:
         x = jnp.pad(x, n_fft // 2, mode="reflect")
     n_est = (x.shape[0] - n_fft) // step + 1
-    idx = np.arange(n_est)[:, None] * step + np.arange(n_fft)[None, :]
-    return x[idx]
+    if n_fft % step == 0:
+        ratio = n_fft // step
+        need = (n_est + ratio - 1) * step
+        xb = jnp.pad(x, (0, max(0, need - x.shape[0])))[:need]
+        blocks = xb.reshape(-1, step)
+        return jnp.concatenate([blocks[j:j + n_est] for j in range(ratio)], axis=1)
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (n_est, n_fft), 0) * step
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (n_est, n_fft), 1)
+    return x[i0 + i1]
 
 
 @functools.partial(jax.jit, static_argnames=("n_fft", "step", "window_name", "zeropad", "center"))

@@ -55,8 +55,20 @@ def halo_exchange_right(local, halo: int, axis_name: str, n_shards: int):
 
 
 def _stft_local(x_ext, n_fft: int, step: int, window, zeropad: int, n_frames: int):
-    idx = np.arange(n_frames)[:, None] * step + np.arange(n_fft)[None, :]
-    frames = x_ext[..., idx] * window
+    if n_fft % step == 0:
+        # static shifted views instead of a gather with a baked index constant
+        ratio = n_fft // step
+        need = (n_frames + ratio - 1) * step
+        xb = jnp.pad(x_ext, [(0, 0)] * (x_ext.ndim - 1)
+                     + [(0, max(0, need - x_ext.shape[-1]))])[..., :need]
+        blocks = xb.reshape(*xb.shape[:-1], -1, step)
+        frames = jnp.concatenate(
+            [blocks[..., j:j + n_frames, :] for j in range(ratio)], axis=-1)
+    else:
+        i0 = jax.lax.broadcasted_iota(jnp.int32, (n_frames, n_fft), 0) * step
+        i1 = jax.lax.broadcasted_iota(jnp.int32, (n_frames, n_fft), 1)
+        frames = x_ext[..., i0 + i1]
+    frames = frames * window
     spec = jnp.fft.rfft(frames, n=n_fft * zeropad, axis=-1)
     return jnp.swapaxes(spec, -1, -2) / np.sqrt(n_fft)  # (..., F, T_local)
 

@@ -26,12 +26,15 @@ __all__ = ["windowed_rms", "match_dynamics", "decompress_file"]
 
 @functools.partial(jax.jit, static_argnames=("hop", "sz"))
 def _windowed_rms_device(x, hop: int, sz: int):
+    from ..ops.fourier import frame_signal
+
     n_win = -(-x.shape[0] // hop)  # ceil, matching the reference's range()
     pad = (n_win - 1) * hop + sz - x.shape[0]
     xp = jnp.pad(x, (0, max(0, pad)))
-    idx = np.arange(n_win)[:, None] * hop + np.arange(sz)[None, :]
-    mask = (idx < x.shape[0])
-    frames = xp[idx]
+    frames = frame_signal(xp, sz, hop, center=False)[:n_win]
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (n_win, sz), 0) * hop
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (n_win, sz), 1)
+    mask = (i0 + i1) < x.shape[0]
     # the reference's trailing windows are shorter: mean over valid samples
     count = mask.sum(axis=1)
     return jnp.sqrt(jnp.sum(frames * frames * mask, axis=1) / count)

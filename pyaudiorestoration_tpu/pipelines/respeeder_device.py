@@ -45,11 +45,10 @@ def track_speed_device(x, NL, NU, n_fft: int, step: int, zeropad: int = 1,
     Returns speeds (T,) centered on ~1.0 (the Peak tracker + TraceLine
     normalization, wow_detection.py:294-304 + markers.py:190-192).
     """
+    from ..ops.fourier import frame_signal
+
     window = jnp.asarray(get_window(window_name, n_fft))
-    xp = jnp.pad(x.astype(jnp.float32), n_fft // 2, mode="reflect")
-    n_frames = (xp.shape[0] - n_fft) // step + 1
-    idx = np.arange(n_frames)[:, None] * step + np.arange(n_fft)[None, :]
-    frames = xp[idx] * window
+    frames = frame_signal(x.astype(jnp.float32), n_fft, step, center=True) * window
     spec = jnp.fft.rfft(frames, n=n_fft * zeropad, axis=-1) / np.sqrt(n_fft)
     mag = jnp.abs(spec) + 1e-7  # (T, F)
     num_bins = mag.shape[-1]
@@ -277,6 +276,57 @@ def compact_output(padded_np, plan):
     k = np.arange(max_n)[None, :]
     mask = k < plan["n"][:, None]
     return padded_np[mask][: plan["n_out"]].astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_fft", "step", "zeropad", "max_n", "nt", "drift", "window_name"))
+def restore_fused_device(x, NL, NU, n_fft: int, step: int, zeropad: int,
+                         max_n: int, nt: int = 50, drift: int = 64,
+                         window_name: str = "blackmanharris"):
+    """Single-jit end-to-end restoration: STFT -> peak track -> speed curve ->
+    dithered position plan -> banded sinc, with ZERO mid-pipeline host
+    round-trips.
+
+    The host plan's float64 cumsums become exact (int32 whole, float32 frac)
+    scan carries: the dither ``round(cumsum(n_raw))`` and the segment base
+    offsets both stay sub-sample accurate because the fractional part never
+    exceeds one sample.  Output is the (T-1, max_n) padded grid; entries with
+    k >= n_i are zero (mask/trim happens wherever the data lands next).
+    """
+    speeds = track_speed_device(x, NL, NU, n_fft, step, zeropad, window_name)
+    s_lo, s_hi = speeds[:-1], speeds[1:]
+    n_raw = step * (s_lo + s_hi) / 2.0
+
+    def dither_step(carry, xi):
+        whole, frac = carry
+        frac = frac + xi
+        w = jnp.floor(frac)
+        whole = whole + w.astype(jnp.int32)
+        frac = frac - w
+        return (whole, frac), whole + (frac >= 0.5).astype(jnp.int32)
+
+    _, rounded = jax.lax.scan(dither_step, (jnp.int32(0), jnp.float32(0.0)), n_raw)
+    n = jnp.diff(jnp.concatenate([jnp.zeros(1, jnp.int32), rounded]))
+    n = jnp.clip(n, 0, max_n)
+
+    kf = jnp.arange(max_n, dtype=jnp.float32)[None, :]
+    ki = jnp.arange(max_n, dtype=jnp.int32)[None, :]
+    denom = jnp.maximum(n[:, None] - 1, 1).astype(jnp.float32)
+    bs = s_lo[:, None] + kf / denom * (s_hi[:, None] - s_lo[:, None])
+    in_seg = ki < n[:, None]
+    inv = jnp.where(in_seg, 1.0 / bs, 0.0)
+    A = jnp.sum(inv, axis=1)  # segment advances
+
+    def base_step(carry, ai):
+        whole, frac = carry
+        out = (whole, frac)
+        frac = frac + ai
+        w = jnp.floor(frac)
+        return (whole + w.astype(jnp.int32), frac - w), out
+
+    _, (base_int, base_frac) = jax.lax.scan(
+        base_step, (jnp.int32(0), jnp.float32(0.0)), A)
+    return sinc_banded_device(x, speeds, n, base_int, base_frac, max_n, nt, drift)
 
 
 def restore_device(sig_dev, sr: int, f0_hz: float, tolerance_st: float = 1.0,

@@ -1,0 +1,29 @@
+"""Pallas kernel parity tests (interpreter mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pyaudiorestoration_tpu.kernels import sinc_pallas
+from pyaudiorestoration_tpu.pipelines import respeeder_device as rdev
+
+
+def test_sinc_pallas_matches_banded_xla():
+    sr = 8000
+    hop = 256
+    n = 2 * sr
+    rng = np.random.default_rng(7)
+    sig = (rng.standard_normal(n) * 0.3).astype(np.float32)
+    T = n // hop
+    t = np.arange(T) * hop / sr
+    speeds = 1.0 + 0.03 * np.sin(2 * np.pi * 1.3 * t)
+    plan = rdev.plan_positions_fast(speeds, hop, n)
+    drift = 8
+    while drift < plan["drift"]:
+        drift *= 2
+    args = (jnp.asarray(sig), jnp.asarray(speeds.astype(np.float32)),
+            jnp.asarray(plan["n"]), jnp.asarray(plan["base_int"]),
+            jnp.asarray(plan["base_frac"]))
+    ref = np.asarray(rdev.sinc_banded_device(*args, int(plan["max_n"]), 30, drift))
+    got = np.asarray(sinc_pallas.sinc_banded_pallas(
+        *args, int(plan["max_n"]), 30, drift, tile=8, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=3e-5)

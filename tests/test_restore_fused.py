@@ -1,0 +1,47 @@
+"""The fused single-jit restoration must match the hybrid host-planned path."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pyaudiorestoration_tpu.pipelines import respeeder_device as rdev
+
+
+def test_fused_matches_hybrid():
+    sr = 44100
+    n = 2 * sr
+    t = np.arange(n) / sr
+    f0 = 3000.0
+    speed = 1.0 + 0.02 * np.sin(2 * np.pi * 0.8 * t)
+    phase = 2 * np.pi * f0 * np.cumsum(speed) / sr
+    sig = (np.sin(phase) * 0.5).astype(np.float32)
+    fft_size, overlap, zp = 4096, 8, 2
+    hop = fft_size // overlap
+
+    padded_h, plan = rdev.restore_device(jnp.asarray(sig), sr, f0,
+                                         fft_size=fft_size, fft_overlap=overlap,
+                                         zeropad=zp, sinc_quality=30)
+    padded_h = np.asarray(padded_h)
+
+    n_frames = (n + fft_size - fft_size) // hop + 1
+    num_bins = fft_size * zp // 2 + 1
+    tol = 1.0 / 12
+    NL = int(round(max(1.0, f0 * 2 ** -tol) * fft_size * zp / sr))
+    NU = int(round(min(sr / 2, f0 * 2 ** tol) * fft_size * zp / sr))
+    n_frames = (n + (fft_size // 2) * 2 - fft_size) // hop + 1
+    NLs = jnp.full((n_frames,), NL, jnp.int32)
+    NUs = jnp.full((n_frames,), NU, jnp.int32)
+    max_n = int(plan["max_n"])
+    padded_f = np.asarray(rdev.restore_fused_device(
+        jnp.asarray(sig), NLs, NUs, fft_size, hop, zp, max_n, 30, 64))
+
+    assert padded_f.shape[0] == padded_h.shape[0]
+    m = min(padded_f.shape[1], padded_h.shape[1])
+    # device scans may place a dither boundary one sample differently in rare
+    # segments; compare via the flattened valid samples
+    flat_h = rdev.compact_output(padded_h, plan)
+    k = np.arange(padded_f.shape[1])[None, :]
+    flat_f = padded_f[k < np.asarray(plan["n"])[:, None]]
+    mm = min(len(flat_h), len(flat_f)) - 100
+    err = np.abs(flat_f[100:mm] - flat_h[100:mm])
+    assert np.median(err) < 1e-4
+    assert (err > 1e-2).mean() < 0.01  # only isolated dither-boundary samples
