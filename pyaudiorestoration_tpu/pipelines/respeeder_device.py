@@ -36,34 +36,60 @@ __all__ = ["track_speed_device", "plan_positions", "sinc_padded_device",
            "restore_device", "compact_output"]
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "step", "zeropad", "window_name"))
+@functools.partial(jax.jit, static_argnames=("n_fft", "step", "zeropad",
+                                              "window_name", "chunk_frames"))
 def track_speed_device(x, NL, NU, n_fft: int, step: int, zeropad: int = 1,
-                       window_name: str = "blackmanharris"):
+                       window_name: str = "blackmanharris",
+                       chunk_frames: int = 4096):
     """STFT + banded peak tracking + speed normalization, all on device.
 
     x: (n,) waveform.  NL/NU: per-frame band limits (int32 device arrays).
     Returns speeds (T,) centered on ~1.0 (the Peak tracker + TraceLine
     normalization, wow_detection.py:294-304 + markers.py:190-192).
-    """
-    from ..ops.fourier import frame_signal
 
+    The STFT streams through ``lax.map`` tiles of ``chunk_frames`` frames so
+    HBM usage stays bounded for arbitrarily long recordings (the FFT temps of
+    a monolithic frame matrix are ~8x the frame bytes).
+    """
+    assert n_fft % step == 0
     window = jnp.asarray(get_window(window_name, n_fft))
-    frames = frame_signal(x.astype(jnp.float32), n_fft, step, center=True) * window
-    spec = jnp.fft.rfft(frames, n=n_fft * zeropad, axis=-1) / np.sqrt(n_fft)
-    mag = jnp.abs(spec) + 1e-7  # (T, F)
-    num_bins = mag.shape[-1]
+    xp = jnp.pad(x.astype(jnp.float32), n_fft // 2, mode="reflect")
+    n_frames = (xp.shape[0] - n_fft) // step + 1
+    ratio = n_fft // step
+    n_chunks = -(-n_frames // chunk_frames)
+    span = (chunk_frames + ratio - 1) * step
+    xp2 = jnp.pad(xp, (0, n_chunks * chunk_frames * step + span - xp.shape[0]))
+    pad_t = n_chunks * chunk_frames - n_frames
+    NLp = jnp.pad(NL, (0, pad_t), constant_values=1)
+    NUp = jnp.pad(NU, (0, pad_t), constant_values=2)
+    num_bins = n_fft * zeropad // 2 + 1
     bins = jnp.arange(num_bins)
-    mask = (bins[None, :] >= NL[:, None]) & (bins[None, :] < NU[:, None])
-    scores = jnp.where(mask, mag, -jnp.inf)
-    peak = jnp.argmax(scores, axis=-1)
-    p = jnp.clip(peak, 1, num_bins - 2)
-    fm1 = jnp.take_along_axis(mag, (p - 1)[:, None], -1)[:, 0]
-    f0 = jnp.take_along_axis(mag, p[:, None], -1)[:, 0]
-    fp1 = jnp.take_along_axis(mag, (p + 1)[:, None], -1)[:, 0]
-    denom = jnp.where(fm1 - 2 * f0 + fp1 == 0, 1e-12, fm1 - 2 * f0 + fp1)
-    xv = 0.5 * (fm1 - fp1) / denom + p
-    is_peak = (fm1 < f0) & (f0 > fp1) & (peak == p)
-    refined = jnp.where(is_peak, xv, peak.astype(xv.dtype))
+
+    def one_chunk(args):
+        c, nl, nu = args
+        xs = jax.lax.dynamic_slice(xp2, (c * chunk_frames * step,), (span,))
+        blocks = xs.reshape(-1, step)
+        frames = jnp.concatenate(
+            [blocks[j:j + chunk_frames] for j in range(ratio)], axis=1) * window
+        spec = jnp.fft.rfft(frames, n=n_fft * zeropad, axis=-1) / np.sqrt(n_fft)
+        mag = jnp.abs(spec) + 1e-7  # (chunk, F)
+        mask = (bins[None, :] >= nl[:, None]) & (bins[None, :] < nu[:, None])
+        scores = jnp.where(mask, mag, -jnp.inf)
+        peak = jnp.argmax(scores, axis=-1)
+        p = jnp.clip(peak, 1, num_bins - 2)
+        fm1 = jnp.take_along_axis(mag, (p - 1)[:, None], -1)[:, 0]
+        f0 = jnp.take_along_axis(mag, p[:, None], -1)[:, 0]
+        fp1 = jnp.take_along_axis(mag, (p + 1)[:, None], -1)[:, 0]
+        denom = jnp.where(fm1 - 2 * f0 + fp1 == 0, 1e-12, fm1 - 2 * f0 + fp1)
+        xv = 0.5 * (fm1 - fp1) / denom + p
+        is_peak = (fm1 < f0) & (f0 > fp1) & (peak == p)
+        return jnp.where(is_peak, xv, peak.astype(xv.dtype))
+
+    refined = jax.lax.map(one_chunk, (
+        jnp.arange(n_chunks),
+        NLp.reshape(n_chunks, chunk_frames),
+        NUp.reshape(n_chunks, chunk_frames)))
+    refined = refined.reshape(-1)[:n_frames]
     log_speed = jnp.log2(jnp.maximum(refined, 1.0))
     return jnp.power(2.0, log_speed - jnp.mean(log_speed))
 
@@ -223,9 +249,9 @@ def sinc_padded_device(sig, speeds, n, base_int, base_frac, max_n: int,
     return res.reshape(-1, max_n)[:T]
 
 
-@functools.partial(jax.jit, static_argnames=("max_n", "nt", "drift"))
+@functools.partial(jax.jit, static_argnames=("max_n", "nt", "drift", "seg_tile"))
 def sinc_banded_device(sig, speeds, n, base_int, base_frac, max_n: int,
-                       nt: int = 50, drift: int = 32):
+                       nt: int = 50, drift: int = 32, seg_tile: int = 32768):
     """Gather-free banded windowed-sinc varispeed resampler.
 
     Since restoration speeds stay near 1, the within-segment anchor drifts
@@ -241,33 +267,51 @@ def sinc_banded_device(sig, speeds, n, base_int, base_frac, max_n: int,
     L = max_n + 2 * U
     kf = jnp.arange(max_n, dtype=jnp.float32)[None, :]
     ki = jnp.arange(max_n, dtype=jnp.int32)[None, :]
-    denom = jnp.maximum(n[:, None] - 1, 1).astype(jnp.float32)
-    bs = speeds[:-1, None] + kf / denom * (speeds[1:, None] - speeds[:-1, None])
-    in_seg = ki < n[:, None]
-    inv = jnp.where(in_seg, 1.0 / bs, 0.0)
-    rel = jnp.cumsum(inv, axis=1) + base_frac[:, None]
-    ind_local = jnp.round(rel).astype(jnp.int32)
-    shift = rel - ind_local
-    fc = jnp.minimum(bs, 1.0)
-    m = ind_local - ki  # |m| <= drift by construction
 
-    start = base_int - U  # (T,)
-    idx = start[:, None] + np.arange(L)[None, :]
-    buf = jnp.where((idx >= 0) & (idx < n_in), sig[jnp.clip(idx, 0, n_in - 1)], 0.0)
+    def run_tile(args):
+        s_lo, s_hi, nn, bi, bf = args
+        denom = jnp.maximum(nn[:, None] - 1, 1).astype(jnp.float32)
+        bs = s_lo[:, None] + kf / denom * (s_hi[:, None] - s_lo[:, None])
+        in_seg = ki < nn[:, None]
+        inv = jnp.where(in_seg, 1.0 / bs, 0.0)
+        rel = jnp.cumsum(inv, axis=1) + bf[:, None]
+        ind_local = jnp.round(rel).astype(jnp.int32)
+        shift = rel - ind_local
+        fc = jnp.minimum(bs, 1.0)
+        m = ind_local - ki  # |m| <= drift by construction
 
-    def body(v, out):
-        jj = (v - U) - m  # tap index for each (segment, k)
-        valid = (jj >= -nt) & (jj < nt) & in_seg
-        jf = jj.astype(jnp.float32)
-        x = (jf - shift) * fc
-        hann = 0.5 - 0.5 * jnp.cos(np.pi * (jf + nt) / nt)
-        w = jnp.where(valid, jnp.sinc(x) * fc * hann, 0.0)
-        seg = jax.lax.dynamic_slice_in_dim(buf, v, max_n, axis=1)
-        return out + seg * w
+        start = bi - U
+        idx = start[:, None] + np.arange(L)[None, :]
+        buf = jnp.where((idx >= 0) & (idx < n_in), sig[jnp.clip(idx, 0, n_in - 1)], 0.0)
 
-    out = jax.lax.fori_loop(0, 2 * U, body,
-                            jnp.zeros((T, max_n), jnp.float32))
-    return out
+        def body(v, out):
+            jj = (v - U) - m  # tap index for each (segment, k)
+            valid = (jj >= -nt) & (jj < nt) & in_seg
+            jf = jj.astype(jnp.float32)
+            x = (jf - shift) * fc
+            hann = 0.5 - 0.5 * jnp.cos(np.pi * (jf + nt) / nt)
+            w = jnp.where(valid, jnp.sinc(x) * fc * hann, 0.0)
+            seg = jax.lax.dynamic_slice_in_dim(buf, v, max_n, axis=1)
+            return out + seg * w
+
+        return jax.lax.fori_loop(0, 2 * U, body,
+                                 jnp.zeros((nn.shape[0], max_n), jnp.float32))
+
+    if T <= seg_tile:
+        return run_tile((speeds[:-1], speeds[1:], n, base_int, base_frac))
+    # tile the segment axis so HBM stays bounded for long recordings
+    pad_t = (-T) % seg_tile
+    s_lo = jnp.pad(speeds[:-1], (0, pad_t), constant_values=1.0)
+    s_hi = jnp.pad(speeds[1:], (0, pad_t), constant_values=1.0)
+    n_p = jnp.pad(n, (0, pad_t))
+    bi_p = jnp.pad(base_int, (0, pad_t))
+    bf_p = jnp.pad(base_frac, (0, pad_t))
+    n_tiles = (T + pad_t) // seg_tile
+    out = jax.lax.map(run_tile, (
+        s_lo.reshape(n_tiles, seg_tile), s_hi.reshape(n_tiles, seg_tile),
+        n_p.reshape(n_tiles, seg_tile), bi_p.reshape(n_tiles, seg_tile),
+        bf_p.reshape(n_tiles, seg_tile)))
+    return out.reshape(-1, max_n)[:T]
 
 
 def compact_output(padded_np, plan):
