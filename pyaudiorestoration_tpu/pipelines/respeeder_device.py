@@ -322,6 +322,43 @@ def compact_output(padded_np, plan):
     return padded_np[mask][: plan["n_out"]].astype(np.float32)
 
 
+def _split_cumsum_exclusive(x, block: int = 1024):
+    """Exclusive cumsum of positive values as an exact (int32, frac<1) pair.
+
+    float32 loses sub-sample precision once a plain cumsum exceeds ~2^24;
+    here integer parts accumulate in int32 (exact) and fractional parts in
+    small-magnitude float32 blocks, with one short scan over block carries.
+    Precision ~1e-4 regardless of total magnitude.
+    """
+    T = x.shape[0]
+    pad = (-T) % block
+    xb = jnp.pad(x, (0, pad)).reshape(-1, block)
+    xi = jnp.floor(xb)
+    xf = xb - xi
+    # exclusive in-block cumsums
+    ci_in = (jnp.cumsum(xi, axis=1) - xi).astype(jnp.int32)
+    cf_in = jnp.cumsum(xf, axis=1) - xf  # < block, exact to ~block*eps
+    cfi = jnp.floor(cf_in)
+    cff = cf_in - cfi
+    # block totals, split
+    ti = (xi.sum(axis=1) + jnp.floor(cf_in[:, -1] + xf[:, -1])).astype(jnp.int32)
+    tf = (cf_in[:, -1] + xf[:, -1]) - jnp.floor(cf_in[:, -1] + xf[:, -1])
+
+    def step(carry, tot):
+        whole, frac = carry
+        out = (whole, frac)
+        t_i, t_f = tot
+        frac = frac + t_f
+        w = jnp.floor(frac)
+        return (whole + t_i + w.astype(jnp.int32), frac - w), out
+
+    _, (off_i, off_f) = jax.lax.scan(step, (jnp.int32(0), jnp.float32(0.0)), (ti, tf))
+    carry = (off_f[:, None] + cff) >= 1.0
+    ints = off_i[:, None] + ci_in + cfi.astype(jnp.int32) + carry.astype(jnp.int32)
+    fracs = off_f[:, None] + cff - carry.astype(jnp.float32)
+    return ints.reshape(-1)[:T], fracs.reshape(-1)[:T]
+
+
 @functools.partial(jax.jit, static_argnames=(
     "n_fft", "step", "zeropad", "max_n", "nt", "drift", "window_name"))
 def restore_fused_device(x, NL, NU, n_fft: int, step: int, zeropad: int,
@@ -341,35 +378,40 @@ def restore_fused_device(x, NL, NU, n_fft: int, step: int, zeropad: int,
     s_lo, s_hi = speeds[:-1], speeds[1:]
     n_raw = step * (s_lo + s_hi) / 2.0
 
-    def dither_step(carry, xi):
-        whole, frac = carry
-        frac = frac + xi
-        w = jnp.floor(frac)
-        whole = whole + w.astype(jnp.int32)
-        frac = frac - w
-        return (whole, frac), whole + (frac >= 0.5).astype(jnp.int32)
-
-    _, rounded = jax.lax.scan(dither_step, (jnp.int32(0), jnp.float32(0.0)), n_raw)
+    # dithered output counts: n_i = round(cum_i) - round(cum_{i-1}) with the
+    # cumsum held as an exact (int, frac) pair (parallel, no long scan)
+    ci, cf = _split_cumsum_exclusive(n_raw)
+    inc_i = ci + jnp.floor(cf + n_raw).astype(jnp.int32)
+    inc_f = cf + n_raw - jnp.floor(cf + n_raw)
+    rounded = inc_i + (inc_f >= 0.5).astype(jnp.int32)
     n = jnp.diff(jnp.concatenate([jnp.zeros(1, jnp.int32), rounded]))
     n = jnp.clip(n, 0, max_n)
 
+    # segment advances A_i = sum_k 1/bs, chunked to bound the (T, max_n) grid
     kf = jnp.arange(max_n, dtype=jnp.float32)[None, :]
     ki = jnp.arange(max_n, dtype=jnp.int32)[None, :]
-    denom = jnp.maximum(n[:, None] - 1, 1).astype(jnp.float32)
-    bs = s_lo[:, None] + kf / denom * (s_hi[:, None] - s_lo[:, None])
-    in_seg = ki < n[:, None]
-    inv = jnp.where(in_seg, 1.0 / bs, 0.0)
-    A = jnp.sum(inv, axis=1)  # segment advances
+    seg_chunk = 32768
+    T = n.shape[0]
+    pad_t = (-T) % seg_chunk
 
-    def base_step(carry, ai):
-        whole, frac = carry
-        out = (whole, frac)
-        frac = frac + ai
-        w = jnp.floor(frac)
-        return (whole + w.astype(jnp.int32), frac - w), out
+    def a_chunk(args):
+        lo, hi, nn = args
+        denom = jnp.maximum(nn[:, None] - 1, 1).astype(jnp.float32)
+        bs = lo[:, None] + kf / denom * (hi[:, None] - lo[:, None])
+        inv = jnp.where(ki < nn[:, None], 1.0 / bs, 0.0)
+        return jnp.sum(inv, axis=1)
 
-    _, (base_int, base_frac) = jax.lax.scan(
-        base_step, (jnp.int32(0), jnp.float32(0.0)), A)
+    if T <= seg_chunk:
+        A = a_chunk((s_lo, s_hi, n))
+    else:
+        nt_chunks = (T + pad_t) // seg_chunk
+        A = jax.lax.map(a_chunk, (
+            jnp.pad(s_lo, (0, pad_t), constant_values=1.0).reshape(nt_chunks, seg_chunk),
+            jnp.pad(s_hi, (0, pad_t), constant_values=1.0).reshape(nt_chunks, seg_chunk),
+            jnp.pad(n, (0, pad_t)).reshape(nt_chunks, seg_chunk),
+        )).reshape(-1)[:T]
+
+    base_int, base_frac = _split_cumsum_exclusive(A)
     return sinc_banded_device(x, speeds, n, base_int, base_frac, max_n, nt, drift)
 
 
