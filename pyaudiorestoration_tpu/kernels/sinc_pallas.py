@@ -31,23 +31,26 @@ def _kernel(buf_ref, bs_ref, rel_ref, mask_ref, out_ref, *, nt, drift, max_n):
     bs = bs_ref[...]            # (tile, max_n)
     rel = rel_ref[...]          # (tile, max_n) local positions incl. base_frac
     in_seg = mask_ref[...]      # (tile, max_n) 1.0 where k < n
-    k = jax.lax.broadcasted_iota(jnp.float32, bs.shape, dimension=1)
+    k = jax.lax.broadcasted_iota(jnp.int32, bs.shape, dimension=1).astype(jnp.float32)
     ind_local = jnp.round(rel)
     shift = rel - ind_local
     fc = jnp.minimum(bs, 1.0)
     m = ind_local - k           # bounded by drift
 
-    def body(v, acc):
-        jf = (v.astype(jnp.float32) - U) - m
+    acc = jnp.zeros(bs.shape, jnp.float32)
+    # static unrolled shift loop: Mosaic lowers static rolls to lane shifts
+    for v in range(2 * U):
+        jf = (float(v) - U) - m
         valid = (jf >= -nt) & (jf < nt)
         x = (jf - shift) * fc
         hann = 0.5 - 0.5 * jnp.cos(np.pi * (jf + nt) / nt)
         w = jnp.where(valid, jnp.sinc(x) * fc * hann, 0.0) * in_seg
-        seg = buf_ref[:, pl.ds(v, max_n)]
-        return acc + seg * w
-
-    out_ref[...] = jax.lax.fori_loop(0, 2 * U, body,
-                                     jnp.zeros(bs.shape, jnp.float32))
+        # left-roll by v == right-roll by L - v (pltpu.roll wants shift >= 0);
+        # the used region [:max_n] never touches the circular wrap
+        L = buf.shape[1]
+        seg = (buf if v == 0 else pltpu.roll(buf, L - v, axis=1))[:, :max_n]
+        acc = acc + seg * w
+    out_ref[...] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("max_n", "nt", "drift", "tile", "interpret"))

@@ -415,6 +415,49 @@ def restore_fused_device(x, NL, NU, n_fft: int, step: int, zeropad: int,
     return sinc_banded_device(x, speeds, n, base_int, base_frac, max_n, nt, drift)
 
 
+def restore_file_fast(audio_path, f0_hz=None, tolerance_st: float = 1.0,
+                      fft_size: int = 4096, fft_overlap: int = 8, zeropad: int = 2,
+                      sinc_quality: int = 50, suffix: str = "", channel: int = 0):
+    """File-to-file wow/flutter fix through the fused device pipeline.
+
+    Auto-detects the pilot tone when ``f0_hz`` is None.  Returns the output
+    path.  (On hosts with a real PCIe link the result download is free; this
+    is the production entry point.)
+    """
+    import jax
+
+    from ..utils import audio_io
+
+    signal, sr, channels = audio_io.read_file(audio_path)
+    x = signal[:, channel]
+    if f0_hz is None:
+        probe = x[: min(len(x), 1 << 18)]
+        spec = np.abs(np.fft.rfft(probe * np.hanning(len(probe))))
+        f0_hz = float(np.argmax(spec[10:]) + 10) / len(probe) * sr
+    hop = fft_size // fft_overlap
+    n = len(x)
+    num_bins = fft_size * zeropad // 2 + 1
+    tol = tolerance_st / 12.0
+    NL = max(1, min(num_bins - 1, int(round(max(1.0, f0_hz * 2 ** -tol) * fft_size * zeropad / sr))))
+    NU = max(1, min(num_bins - 1, int(round(min(sr / 2, f0_hz * 2 ** tol) * fft_size * zeropad / sr))))
+    n_frames = (n + (fft_size // 2) * 2 - fft_size) // hop + 1
+    NLs = jnp.full((n_frames,), NL, jnp.int32)
+    NUs = jnp.full((n_frames,), NU, jnp.int32)
+    max_n = int(hop * 1.1)
+    padded = restore_fused_device(jnp.asarray(x), NLs, NUs, fft_size, hop,
+                                  zeropad, max_n, sinc_quality, 64)
+    padded_np = np.asarray(padded)
+    # valid-count per segment from the row contents is fragile; recompute the
+    # plan on host (tiny) for exact compaction and end trim
+    speeds = np.asarray(track_speed_device(jnp.asarray(x), NLs, NUs, fft_size,
+                                           hop, zeropad))
+    plan = plan_positions_fast(speeds, hop, n)
+    out = compact_output(padded_np[:, :plan["max_n"]] if padded_np.shape[1] >= plan["max_n"]
+                         else np.pad(padded_np, ((0, 0), (0, plan["max_n"] - padded_np.shape[1]))),
+                         plan)
+    return audio_io.write_file(audio_path, out, sr, 1, suffix=f"_res{suffix}")
+
+
 def restore_device(sig_dev, sr: int, f0_hz: float, tolerance_st: float = 1.0,
                    fft_size: int = 4096, fft_overlap: int = 8, zeropad: int = 2,
                    sinc_quality: int = 50):
