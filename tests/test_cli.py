@@ -1,0 +1,104 @@
+"""CLI smoke tests: every subcommand end-to-end on tiny inputs."""
+
+import json
+import shutil
+
+import numpy as np
+import pytest
+
+from pyaudiorestoration_tpu import cli
+from pyaudiorestoration_tpu.utils import audio_io
+
+
+def run_cli(capsys, *args):
+    rc = cli.main(list(args))
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0
+    return json.loads(out[-1])
+
+
+def test_cli_respeed(tmp_path, capsys):
+    sr = 22050
+    t = np.arange(2 * sr) / sr
+    speed = 1.0 + 0.02 * np.sin(2 * np.pi * 1.0 * t)
+    sig = (np.sin(2 * np.pi * 2000 * np.cumsum(speed) / sr) * 0.5).astype(np.float32)
+    src = tmp_path / "wow.wav"
+    audio_io.write_wav(src, sig, sr)
+    res = run_cli(capsys, "respeed", str(src), "--fft-size", "2048",
+                  "--fft-overlap", "8", "--zeropad", "2", "--sinc-quality", "16")
+    assert res["outputs"][0].endswith("_res.wav")
+    out, osr, _ = audio_io.read_file(res["outputs"][0])
+    assert osr == sr and len(out) > sr
+
+
+def test_cli_tapesync(tmp_path, capsys, samples_dir):
+    ref = tmp_path / "rhythm.flac"
+    src = tmp_path / "rhythm5.flac"
+    shutil.copy(samples_dir / "rhythm.flac", ref)
+    shutil.copy(samples_dir / "rhythm+5percent.flac", src)
+    res = run_cli(capsys, "tapesync", str(ref), str(src), "--windows", "6",
+                  "--window-s", "0.5", "--sinc-quality", "8")
+    assert len(res["outputs"]) == 1
+    assert len(res["lags"]) >= 4
+
+
+def test_cli_heal_project(tmp_path, capsys, samples_dir):
+    src = tmp_path / "d.flac"
+    shutil.copy(samples_dir / "dropouts_sample.flac", src)
+    proj = tmp_path / "d.drop"
+    shutil.copy(samples_dir / "dropouts_sample.drop", proj)
+    res = run_cli(capsys, "heal", str(src), "--project", str(proj))
+    assert res["num_dropouts"] > 10
+    assert res["outputs"][0].endswith("_drops.wav")
+
+
+def test_cli_difeq(tmp_path, capsys, samples_dir):
+    res = run_cli(capsys, "difeq", str(samples_dir / "nr_signal.wav"),
+                  str(samples_dir / "nr_noise.wav"), "-o", str(tmp_path / "eq.txt"))
+    assert len(res["outputs"]) == 3
+
+
+def test_cli_renoise(tmp_path, capsys, samples_dir):
+    src = tmp_path / "nr.wav"
+    shutil.copy(samples_dir / "nr_signal.wav", src)
+    res = run_cli(capsys, "renoise", str(src), "--noise",
+                  str(samples_dir / "nr_noise.wav"), "--gain", "-30")
+    out, _, _ = audio_io.read_file(res["outputs"][0])
+    assert len(out) > 1000
+
+
+def test_cli_hpss(tmp_path, capsys, rng):
+    sr = 8000
+    sig = (rng.standard_normal(sr) * 0.2).astype(np.float32)
+    src = tmp_path / "h.wav"
+    audio_io.write_wav(src, sig, sr)
+    res = run_cli(capsys, "hpss", str(src), "--fft-size", "512", "--kernel", "9")
+    assert len(res["outputs"]) == 2
+
+
+def test_cli_humspeed_analyze(tmp_path, capsys):
+    sr = 44100
+    t = np.arange(10 * sr) / sr
+    sig = (0.05 * np.sin(2 * np.pi * 50.5 * t)).astype(np.float32)
+    src = tmp_path / "hum.wav"
+    audio_io.write_wav(src, sig, sr)
+    res = run_cli(capsys, "humspeed", str(src), "--analyze-only", "--harmonies", "0")
+    assert res["matches"]
+    assert abs(res["matches"][0]["percent"] - (50 / 50.5 - 1) * 100) < 0.3
+
+
+def test_cli_pan(tmp_path, capsys, rng):
+    from pyaudiorestoration_tpu.models import markers as mk
+    from pyaudiorestoration_tpu.utils import project
+    sr = 8000
+    base = rng.standard_normal(sr).astype(np.float32) * 0.2
+    sig = np.stack([base * 1.5, base], -1)
+    src = tmp_path / "p.wav"
+    audio_io.write_wav(src, sig, sr)
+    proj = project.Project(".pan", {}, {"markers": [
+        mk.PanSample((0.1, 100.0), (0.9, 3000.0), 1.5)]})
+    ppath = tmp_path / "p.pan"
+    proj.save(str(ppath))
+    res = run_cli(capsys, "pan", str(src), "--project", str(ppath))
+    out, _, ch = audio_io.read_file(res["outputs"][0])
+    assert ch == 1
