@@ -48,6 +48,10 @@ def build_parser():
     sp.add_argument("--resampling-mode", default="Sinc", choices=["Sinc", "Linear"])
     sp.add_argument("--sinc-quality", type=int, default=50)
     sp.add_argument("--suffix", default="")
+    sp.add_argument("--fast", action="store_true",
+                    help="device-resident pipeline (auto pilot-tone tracking)")
+    sp.add_argument("--f0", type=float, default=None,
+                    help="target frequency for --fast tracking")
 
     sp = sub.add_parser("tapesync", help="align source to reference (pytapesynch)")
     sp.add_argument("reference")
@@ -135,7 +139,14 @@ def main(argv=None):
                         format="%(levelname)s | %(message)s")
     if args.cmd == "respeed":
         from .pipelines import respeeder
-        if args.input.endswith(".spd"):
+        if args.fast:
+            from .pipelines import respeeder_device
+            out = [respeeder_device.restore_file_fast(
+                args.input, f0_hz=args.f0, tolerance_st=args.tolerance,
+                fft_size=args.fft_size, fft_overlap=args.fft_overlap,
+                zeropad=args.zeropad, sinc_quality=args.sinc_quality,
+                suffix=args.suffix)]
+        elif args.input.endswith(".spd"):
             out = respeeder.run_project(args.input, out_suffix=args.suffix)
         else:
             trail = None

@@ -69,18 +69,28 @@ def get_mask_fac(spec_mag, profile, gain):
     return _mask_fac(spec_db, jnp.asarray(profile, jnp.float32), float(gain))
 
 
+@functools.partial(jax.jit, static_argnames=("fft_size", "hop", "length"))
+def _process_fused(x, profile, gain, fft_size: int, hop: int, length: int):
+    """One-jit masked STFT -> iSTFT for a single channel."""
+    spec = fourier.stft(x, n_fft=fft_size, step=hop)
+    fac = _mask_fac(20.0 * jnp.log10(jnp.abs(spec) + 1e-7), profile, gain)
+    return fourier.istft(spec * fac, length=length, hop_length=hop)
+
+
 def process(signal, sr, profile, gain, fft_size=1024, fft_overlap=4, channels=None):
-    """Masked STFT -> iSTFT per channel (renoiser_gui.py:296-319)."""
+    """Masked STFT -> iSTFT per channel (renoiser_gui.py:296-319).
+
+    The whole round trip runs as one fused jit per channel on device.
+    """
     hop = fft_size // fft_overlap
     channels = list(channels) if channels else list(range(signal.shape[1]))
     n = len(signal)
     padded = np.asarray(fourier.fix_length(signal, n + fft_size // 2, axis=0))
     y_out = np.empty((n, len(channels)), signal.dtype)
+    prof = jnp.asarray(np.asarray(profile, np.float32))
     for out_c, channel_i in enumerate(channels):
-        fft_signal = fourier.stft(padded[:, channel_i], n_fft=fft_size, step=hop)
-        fac = get_mask_fac(jnp.abs(fft_signal) + 1e-7, profile, gain)
-        y_out[:, out_c] = np.asarray(fourier.istft(fft_signal * fac, length=n,
-                                                   hop_length=hop))
+        y_out[:, out_c] = np.asarray(_process_fused(
+            jnp.asarray(padded[:, channel_i]), prof, float(gain), fft_size, hop, n))
     return y_out
 
 

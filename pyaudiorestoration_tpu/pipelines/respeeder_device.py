@@ -297,6 +297,11 @@ def sinc_banded_device(sig, speeds, n, base_int, base_frac, max_n: int,
         return jax.lax.fori_loop(0, 2 * U, body,
                                  jnp.zeros((nn.shape[0], max_n), jnp.float32))
 
+    if sig.ndim == 2:
+        # multi-channel: identical plan, vmap the kernel over channels
+        return jax.vmap(lambda ch: sinc_banded_device(
+            ch, speeds, n, base_int, base_frac, max_n, nt, drift, seg_tile))(sig)
+
     if T <= seg_tile:
         return run_tile((speeds[:-1], speeds[1:], n, base_int, base_frac))
     # tile the segment axis so HBM stays bounded for long recordings
@@ -417,18 +422,19 @@ def restore_fused_device(x, NL, NU, n_fft: int, step: int, zeropad: int,
 
 def restore_file_fast(audio_path, f0_hz=None, tolerance_st: float = 1.0,
                       fft_size: int = 4096, fft_overlap: int = 8, zeropad: int = 2,
-                      sinc_quality: int = 50, suffix: str = "", channel: int = 0):
-    """File-to-file wow/flutter fix through the fused device pipeline.
+                      sinc_quality: int = 50, suffix: str = "", channel: int = 0,
+                      use_channels=None):
+    """File-to-file wow/flutter fix through the device pipeline.
 
-    Auto-detects the pilot tone when ``f0_hz`` is None.  Returns the output
-    path.  (On hosts with a real PCIe link the result download is free; this
-    is the production entry point.)
+    Tracks on ``channel``, resamples all ``use_channels`` (default: all)
+    through the shared speed curve — the reference's multi-channel export
+    contract (resampling.py:211-231).  Auto-detects the pilot tone when
+    ``f0_hz`` is None.  Returns the output path.
     """
-    import jax
-
     from ..utils import audio_io
 
-    signal, sr, channels = audio_io.read_file(audio_path)
+    signal, sr, num_channels = audio_io.read_file(audio_path)
+    channels = list(use_channels) if use_channels else list(range(num_channels))
     x = signal[:, channel]
     if f0_hz is None:
         probe = x[: min(len(x), 1 << 18)]
@@ -443,19 +449,21 @@ def restore_file_fast(audio_path, f0_hz=None, tolerance_st: float = 1.0,
     n_frames = (n + (fft_size // 2) * 2 - fft_size) // hop + 1
     NLs = jnp.full((n_frames,), NL, jnp.int32)
     NUs = jnp.full((n_frames,), NU, jnp.int32)
-    max_n = int(hop * 1.1)
-    padded = restore_fused_device(jnp.asarray(x), NLs, NUs, fft_size, hop,
-                                  zeropad, max_n, sinc_quality, 64)
-    padded_np = np.asarray(padded)
-    # valid-count per segment from the row contents is fragile; recompute the
-    # plan on host (tiny) for exact compaction and end trim
     speeds = np.asarray(track_speed_device(jnp.asarray(x), NLs, NUs, fft_size,
                                            hop, zeropad))
     plan = plan_positions_fast(speeds, hop, n)
-    out = compact_output(padded_np[:, :plan["max_n"]] if padded_np.shape[1] >= plan["max_n"]
-                         else np.pad(padded_np, ((0, 0), (0, plan["max_n"] - padded_np.shape[1]))),
-                         plan)
-    return audio_io.write_file(audio_path, out, sr, 1, suffix=f"_res{suffix}")
+    drift = 8
+    while drift < plan["drift"]:
+        drift *= 2
+    sig_dev = jnp.asarray(np.ascontiguousarray(signal[:, channels].T))  # (C, n)
+    padded = np.asarray(sinc_banded_device(
+        sig_dev, jnp.asarray(speeds.astype(np.float32)), jnp.asarray(plan["n"]),
+        jnp.asarray(plan["base_int"]), jnp.asarray(plan["base_frac"]),
+        int(plan["max_n"]), int(sinc_quality), drift))
+    out = np.stack([compact_output(padded[c], plan) for c in range(len(channels))],
+                   axis=-1)
+    return audio_io.write_file(audio_path, out, sr, len(channels),
+                               suffix=f"_res{suffix}")
 
 
 def restore_device(sig_dev, sr: int, f0_hz: float, tolerance_st: float = 1.0,
