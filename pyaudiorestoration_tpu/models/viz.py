@@ -58,9 +58,11 @@ def plot_spectrogram(mag, sr, hop, ax=None, vmin=-120, vmax=0, cmap="magma",
             ax.plot(tt, y(np.power(2, m.speed_at(tt) + np.log2(2000))),
                     color=(0, 0, 1, 0.5), lw=1)
         elif hasattr(m, "a") and hasattr(m, "b"):             # box markers
+            from matplotlib.patches import Rectangle
+
             t0, t1 = sorted((m.a[0], m.b[0]))
             f0, f1 = sorted((m.a[1], m.b[1]))
-            ax.add_patch(__import__("matplotlib.patches", fromlist=["Rectangle"]).Rectangle(
+            ax.add_patch(Rectangle(
                 (t0, y(np.array(f0))), t1 - t0, y(np.array(f1)) - y(np.array(f0)),
                 fill=False, edgecolor=(1, 1, 1, 0.6)))
     return ax

@@ -204,6 +204,15 @@ def run(filenames, signal_data=None, speed_curve=None, resampling_mode="Linear",
     (resampling.py:162-240): writes ``<name>_res<suffix>.wav`` per input.
     Returns the list of output paths.
     """
+    def progress(pct):
+        # prog_sig mirrors the reference's notifyProgress signal contract
+        # (resampling.py:165-168); plain callables are accepted too
+        if prog_sig is None:
+            return
+        emit = getattr(getattr(prog_sig, "notifyProgress", None), "emit", None)
+        (emit or prog_sig)(pct)
+
+    progress(0)
     out_paths = []
     if signal_data is None:
         signal_data = [None for _ in filenames]
@@ -235,6 +244,7 @@ def run(filenames, signal_data=None, speed_curve=None, resampling_mode="Linear",
                         signal[:, in_channel], sample_at, quality=sinc_quality)
                 else:
                     output[:, out_channel] = linear_resample(signal[:, in_channel], sample_at)
+                progress((out_channel + 1) / len(channels) * 100)
         with log_duration("Writing"):
             out_path = f"{os.path.splitext(filename)[0]}_res{suffix}.wav"
             audio_io.write_wav(out_path, output, sr)

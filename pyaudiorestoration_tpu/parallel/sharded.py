@@ -145,6 +145,54 @@ def istft_sharded(mesh: Mesh, spec, n_fft: int = 1024, step: int = 256,
     )(spec)
 
 
+def hpss_sharded(mesh: Mesh, spec_mag, kernel_size: int = 31, power: float = 2.0):
+    """Time-sharded HPSS masks with halo exchange for the harmonic median.
+
+    spec_mag: (files, F, T) magnitude sharded (files, None, time).  The
+    harmonic median filter runs along time and needs ``kernel_size//2``
+    frames from each neighbor; the percussive median runs along frequency
+    (shard-local).  Returns (mask_harm, mask_perc) with the same sharding.
+    """
+    from ..ops.decompose import softmask
+
+    n_time = mesh.shape["time"]
+    half = kernel_size // 2
+
+    def fn(sb):  # (B, F, T_local)
+        # bidirectional halos along time
+        left_recv = _right_ppermute(sb[..., -half:], "time", n_time)
+        right_recv = _left_ppermute(sb[..., :half], "time", n_time)
+        ext = jnp.concatenate([left_recv, sb, right_recv], axis=-1)
+        # shard_map edges (global start/end) fall back to the halo zeros;
+        # emulate 'symmetric' there by reflecting the local edge
+        first = jax.lax.axis_index("time") == 0
+        last = jax.lax.axis_index("time") == n_time - 1
+        sym_l = sb[..., :half][..., ::-1]
+        sym_r = sb[..., -half:][..., ::-1]
+        ext = ext.at[..., :half].set(jnp.where(first, sym_l, ext[..., :half]))
+        ext = ext.at[..., -half:].set(jnp.where(last, sym_r, ext[..., -half:]))
+        # harmonic: median along time via static shifted stacks
+        windows = jnp.stack([ext[..., j:j + sb.shape[-1]]
+                             for j in range(kernel_size)], axis=-1)
+        harm = jnp.sort(windows, axis=-1)[..., half]
+        # percussive: median along frequency (local)
+        pad_cfg = [(0, 0)] * (sb.ndim - 2) + [(half, half), (0, 0)]
+        fext = jnp.pad(sb, pad_cfg, mode="symmetric")
+        fwin = jnp.stack([fext[..., j:j + sb.shape[-2], :]
+                          for j in range(kernel_size)], axis=-1)
+        perc = jnp.sort(fwin, axis=-1)[..., half]
+        mask_h = softmask(harm, perc, power=power, split_zeros=True)
+        mask_p = softmask(perc, harm, power=power, split_zeros=True)
+        return mask_h, mask_p
+
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=P("files", None, "time"),
+        out_specs=(P("files", None, "time"), P("files", None, "time")),
+        check_vma=False,
+    )(spec_mag)
+
+
 def _masked_peak_local(spec_local, f0_bin, tol_bins):
     """Frame-parallel masked peak tracking (device part of the Peak tracker)."""
     num_bins = spec_local.shape[-2]

@@ -52,6 +52,22 @@ def test_istft_sharded_roundtrip(mesh8, rng):
     assert err < 1e-3, err
 
 
+def test_hpss_sharded_matches_dense(mesh8, rng):
+    """Sharded HPSS masks == single-device decompose.hpss masks (interior)."""
+    from pyaudiorestoration_tpu.ops import decompose
+    F, T = 65, 256
+    S = np.abs(rng.standard_normal((2, F, T))).astype(np.float32)
+    S[:, 20, :] += 5.0
+    S[:, :, 100] += 5.0
+    xs = jax.device_put(S, pmesh.NamedSharding(mesh8, pmesh.P("files", None, "time")))
+    mh, mp = sharded.hpss_sharded(mesh8, xs, kernel_size=9)
+    ref_h, ref_p = decompose.hpss(S[0], kernel_size=9, mask=True)
+    got_h = np.asarray(mh)[0]
+    # interior parity (shard boundaries use true halos; global edges symmetric)
+    np.testing.assert_allclose(got_h, np.asarray(ref_h), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mp)[0], np.asarray(ref_p), atol=1e-5)
+
+
 def test_restore_step_runs_and_restores(mesh8):
     """Wobbled tone in, steadier tone out — through the fully sharded step."""
     sr = 8192
