@@ -138,22 +138,85 @@ def _positions_to_device_args(sample_at):
     return ind.astype(np.int32), shift, fc
 
 
-def sinc_resample(signal, sample_at, quality: int = 50, tile: int = 16384):
+@functools.partial(jax.jit, static_argnames=("nt", "drift", "block"))
+def _sinc_banded_blocks(sig, anchors, rel, fc, nt: int, drift: int, block: int):
+    """Gather-free banded sinc over fixed-size output blocks.
+
+    ``anchors``: (n_blocks,) int32 input anchor per block; ``rel``: (n_blocks,
+    block) float32 positions relative to the anchor; ``fc``: per-sample
+    cutoff.  The taps become 2*(nt+drift) static shifted MAC passes (TPU
+    gathers are scalar-rate; see pipelines/respeeder_device.py).
+    """
+    n_in = sig.shape[0]
+    U = nt + drift
+    L = block + 2 * U
+    k = jnp.arange(block, dtype=jnp.int32)[None, :]
+    ind_local = jnp.round(rel).astype(jnp.int32)
+    shift = rel - ind_local
+    m = ind_local - k
+    start = anchors - U
+    idx = start[:, None] + np.arange(L)[None, :]
+    buf = jnp.where((idx >= 0) & (idx < n_in), sig[jnp.clip(idx, 0, n_in - 1)], 0.0)
+
+    def body(v, out):
+        jj = (v - U) - m
+        valid = (jj >= -nt) & (jj < nt)
+        jf = jj.astype(jnp.float32)
+        x = (jf - shift) * fc
+        hann = 0.5 - 0.5 * jnp.cos(np.pi * (jf + nt) / nt)
+        w = jnp.where(valid, jnp.sinc(x) * fc * hann, 0.0)
+        seg = jax.lax.dynamic_slice_in_dim(buf, v, block, axis=1)
+        return out + seg * w
+
+    return jax.lax.fori_loop(0, 2 * U, body,
+                             jnp.zeros(rel.shape, jnp.float32))
+
+
+def sinc_resample(signal, sample_at, quality: int = 50, tile: int = 16384,
+                  block: int = 512, max_band_drift: int = 192):
     """Windowed-sinc resample of a 1D signal at float64 positions.
 
     ``quality`` is the reference's ``sinc_quality`` NT (resampling.py:21-27).
     Returns a float32 array of len(sample_at).
+
+    Auto-kernel selection: when positions advance near-monotonically with a
+    bounded in-block excursion (speed curves near 1, lag curves), the
+    gather-free banded kernel runs; otherwise (large resampling ratios) the
+    tiled-gather kernel does.
     """
     n_out = len(sample_at)
     if n_out == 0:
         return np.empty(0, np.float32)
+    sig = jnp.asarray(np.asarray(signal, dtype=np.float32))
+    sample_at = np.asarray(sample_at, dtype=np.float64)
+
+    # try the banded layout: per-block anchors + small relative positions
+    n_blocks = -(-n_out // block)
+    padded = np.pad(sample_at, (0, n_blocks * block - n_out), mode="edge")
+    pos_b = padded.reshape(n_blocks, block)
+    anchors = np.round(pos_b[:, 0]).astype(np.int64)
+    rel = pos_b - anchors[:, None]
+    drift_needed = int(np.ceil(np.abs(np.round(rel) - np.arange(block)[None, :]).max())) + 1
+    if drift_needed <= max_band_drift:
+        drift = 8
+        while drift < drift_needed:
+            drift *= 2
+        period = np.diff(padded)
+        period = np.concatenate([period, period[-1:]]) if len(period) else np.ones(1)
+        # reference convention: negative periods clamp to tiny -> fc = 1
+        fc = np.minimum(1.0 / np.maximum(period, 1e-12), 1.0).astype(np.float32)
+        out = _sinc_banded_blocks(
+            sig, jnp.asarray(anchors.astype(np.int32)),
+            jnp.asarray(rel.astype(np.float32)),
+            jnp.asarray(fc.reshape(n_blocks, block)), int(quality), drift, int(block))
+        return np.asarray(out).reshape(-1)[:n_out]
+
     ind, shift, fc = _positions_to_device_args(sample_at)
     pad = (-n_out) % tile
     if pad:
         ind = np.pad(ind, (0, pad))
         shift = np.pad(shift, (0, pad))
         fc = np.pad(fc, (0, pad), constant_values=1.0)
-    sig = jnp.asarray(np.asarray(signal, dtype=np.float32))
     out = _sinc_device(sig, jnp.asarray(ind), jnp.asarray(shift), jnp.asarray(fc),
                        int(quality), int(tile))
     return np.asarray(out[:n_out])
