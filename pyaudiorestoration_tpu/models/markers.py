@@ -36,11 +36,12 @@ def sample_lines(times, lines_times, lines_values):
         out[:, i] = np.interp(times, lt, lv, left=np.nan, right=np.nan)
     if out.shape[1] == 0:
         return np.full(len(times), np.nan)
-    with np.errstate(invalid="ignore"):
-        import warnings
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", category=RuntimeWarning)
-            return np.nanmean(out, axis=1)
+    import warnings
+
+    with warnings.catch_warnings():
+        # all-NaN rows (gaps between traces) are expected; interp_nans fills them
+        warnings.simplefilter("ignore", category=RuntimeWarning)
+        return np.nanmean(out, axis=1)
 
 
 class TraceLine:

@@ -261,7 +261,6 @@ def trace_correlation(spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1
     g = _Grid(spectrum, fft_size, hop, sr, tolerance_st)
     frame_0, frame_1, times, freqs = g.sample_trail(trail)
     fL, fU = float(np.min(freqs)), float(np.max(freqs))
-    NL, NU = _band_limits_np(np.array([(fL + fU) / 2]), 0.0, g.fft_size, g.sr, g.num_bins)
     # the reference sets limits from the raw fL/fU (no tolerance applied)
     NL = max(1, min(g.num_bins - 1, int(round(fL * g.fft_size / g.sr))))
     NU = max(1, min(g.num_bins - 1, int(round(fU * g.fft_size / g.sr))))

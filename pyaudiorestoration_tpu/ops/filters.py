@@ -150,12 +150,12 @@ def butter_bandpass_filter(data, lowcut, highcut, fs, order=5, backend="device")
 
 def moving_average(a, n=3):
     """Trailing moving average, length len(a)-n+1 (filters.py:27-30)."""
-    xp = jnp if isinstance(a, jnp.ndarray) and not isinstance(a, np.ndarray) else np
-    ret = xp.cumsum(a, dtype=float if xp is np else jnp.float32)
-    if xp is np:
-        ret[n:] = ret[n:] - ret[:-n]
+    if isinstance(a, jnp.ndarray) and not isinstance(a, np.ndarray):
+        ret = jnp.cumsum(a, dtype=jnp.float32)
+        ret = ret.at[n:].set(ret[n:] - ret[:-n])
         return ret[n - 1:] / n
-    ret = ret.at[n:].set(ret[n:] - ret[:-n]) if hasattr(ret, "at") else ret
+    ret = np.cumsum(a, dtype=float)
+    ret[n:] = ret[n:] - ret[:-n]
     return ret[n - 1:] / n
 
 
