@@ -503,10 +503,132 @@ void wr_u16(FILE* f, uint16_t v) {
 
 }  // namespace
 
+namespace {
+
+// ---------------------------------------------------------------------------
+// Streaming reader: random-access block reads without decoding whole WAVs.
+// FLAC falls back to a fully decoded in-memory buffer.
+// ---------------------------------------------------------------------------
+struct StreamReader {
+  FILE* file = nullptr;       // open for WAV streaming
+  long data_offset = 0;       // byte offset of sample data
+  uint16_t fmt = 0;           // 1 = PCM, 3 = float
+  uint16_t bits = 0;
+  int sample_rate = 0;
+  int channels = 0;
+  int64_t frames = 0;
+  AudioData decoded;          // used when streaming is not possible (FLAC)
+  bool in_memory = false;
+
+  ~StreamReader() {
+    if (file) fclose(file);
+  }
+};
+
+bool open_wav_stream(const char* path, StreamReader& s) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  uint8_t hdr[12];
+  if (fread(hdr, 1, 12, f) != 12 || memcmp(hdr, "RIFF", 4) != 0 ||
+      memcmp(hdr + 8, "WAVE", 4) != 0) {
+    fclose(f);
+    return false;
+  }
+  uint8_t chunk[8];
+  while (fread(chunk, 1, 8, f) == 8) {
+    uint32_t len = rd_u32(chunk + 4);
+    if (memcmp(chunk, "fmt ", 4) == 0) {
+      std::vector<uint8_t> body(len);
+      if (fread(body.data(), 1, len, f) != len) break;
+      s.fmt = rd_u16(body.data());
+      s.channels = rd_u16(body.data() + 2);
+      s.sample_rate = (int)rd_u32(body.data() + 4);
+      s.bits = rd_u16(body.data() + 14);
+      if (s.fmt == 0xFFFE && len >= 40) s.fmt = rd_u16(body.data() + 24);
+      if (len & 1) fseek(f, 1, SEEK_CUR);
+    } else if (memcmp(chunk, "data", 4) == 0) {
+      s.data_offset = ftell(f);
+      size_t bytes_per = s.bits / 8;
+      if (!bytes_per || !s.channels) break;
+      s.frames = (int64_t)(len / (bytes_per * s.channels));
+      s.file = f;
+      return true;
+    } else {
+      fseek(f, (long)(len + (len & 1)), SEEK_CUR);
+    }
+  }
+  fclose(f);
+  return false;
+}
+
+int stream_read_block(StreamReader& s, int64_t start, int64_t count, float* out) {
+  if (start < 0 || start + count > s.frames) return -1;
+  if (s.in_memory) {
+    memcpy(out, s.decoded.samples.data() + (size_t)start * s.channels,
+           (size_t)count * s.channels * sizeof(float));
+    return 0;
+  }
+  size_t bytes_per = s.bits / 8;
+  size_t stride = bytes_per * s.channels;
+  if (fseek(s.file, (long)(s.data_offset + (int64_t)start * stride), SEEK_SET))
+    return -1;
+  std::vector<uint8_t> raw((size_t)count * stride);
+  if (fread(raw.data(), 1, raw.size(), s.file) != raw.size()) return -1;
+  size_t total = (size_t)count * s.channels;
+  const uint8_t* data = raw.data();
+  if (s.fmt == 3 && s.bits == 32) {
+    memcpy(out, data, total * 4);
+  } else if (s.fmt == 1 && s.bits == 16) {
+    for (size_t i = 0; i < total; ++i)
+      out[i] = (float)((int16_t)rd_u16(data + i * 2) / 32768.0);
+  } else if (s.fmt == 1 && s.bits == 24) {
+    for (size_t i = 0; i < total; ++i) {
+      const uint8_t* p = data + i * 3;
+      int32_t v = (int32_t)((uint32_t)p[0] << 8 | (uint32_t)p[1] << 16 |
+                            (uint32_t)p[2] << 24) >> 8;
+      out[i] = (float)(v / 8388608.0);
+    }
+  } else if (s.fmt == 1 && s.bits == 32) {
+    for (size_t i = 0; i < total; ++i)
+      out[i] = (float)((int32_t)rd_u32(data + i * 4) / 2147483648.0);
+  } else {
+    return -2;
+  }
+  return 0;
+}
+
+}  // namespace
+
 // ---------------------------------------------------------------------------
 // C ABI
 // ---------------------------------------------------------------------------
 extern "C" {
+
+// ---- streaming API --------------------------------------------------------
+void* audioio_stream_open(const char* path) {
+  StreamReader* s = new StreamReader();
+  if (open_wav_stream(path, *s)) return s;
+  // fall back: decode fully (FLAC or odd WAV layouts)
+  if (decode_any(path, s->decoded)) {
+    s->in_memory = true;
+    s->sample_rate = s->decoded.sample_rate;
+    s->channels = s->decoded.channels;
+    s->frames = s->decoded.frames;
+    return s;
+  }
+  delete s;
+  return nullptr;
+}
+
+int audioio_stream_sample_rate(void* h) { return ((StreamReader*)h)->sample_rate; }
+int audioio_stream_channels(void* h) { return ((StreamReader*)h)->channels; }
+long long audioio_stream_frames(void* h) { return ((StreamReader*)h)->frames; }
+
+int audioio_stream_read(void* h, long long start, long long count, float* out) {
+  return stream_read_block(*(StreamReader*)h, start, count, out);
+}
+
+void audioio_stream_close(void* h) { delete (StreamReader*)h; }
 
 // Opens and fully decodes the file; returns an opaque handle (or null).
 void* audioio_open(const char* path) {

@@ -50,10 +50,10 @@ def detect_dropouts(spectrum_db, sr, hop, fft_size, t0, t1, f_lower, f_upper,
     vol = np.mean(spectrum_db[bin_l:bin_u, frame_b:frame_a], axis=0)
     base_half_width = width_ms / 1000 / 2
     frames_half_width = _time_2_frame(base_half_width, sr, hop)
-    savgol_win = max(frames_half_width * 12, 7)
+    savgol_win = min(max(frames_half_width * 12, 7), max(len(vol) - 1, 2))
     vol_lt = scipy.signal.savgol_filter(vol, savgol_win, min(5, savgol_win - 1))
-    vol_st = scipy.signal.savgol_filter(vol, max(frames_half_width, 7),
-                                        min(5, max(frames_half_width, 7) - 1))
+    st_win = min(max(frames_half_width, 7), max(len(vol) - 1, 2))
+    vol_st = scipy.signal.savgol_filter(vol, st_win, min(5, st_win - 1))
     peaks, _ = scipy.signal.find_peaks(-vol, prominence=10.0 - sensitivity, rel_height=0.5)
     out = []
     for f_peak in peaks:

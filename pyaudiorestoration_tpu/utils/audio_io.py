@@ -68,8 +68,73 @@ def _get_lib():
         ]
         lib.audioio_write_wav_pcm16.restype = ctypes.c_int
         lib.audioio_write_wav_pcm16.argtypes = lib.audioio_write_wav_f32.argtypes
+        lib.audioio_stream_open.restype = ctypes.c_void_p
+        lib.audioio_stream_open.argtypes = [ctypes.c_char_p]
+        lib.audioio_stream_sample_rate.restype = ctypes.c_int
+        lib.audioio_stream_sample_rate.argtypes = [ctypes.c_void_p]
+        lib.audioio_stream_channels.restype = ctypes.c_int
+        lib.audioio_stream_channels.argtypes = [ctypes.c_void_p]
+        lib.audioio_stream_frames.restype = ctypes.c_longlong
+        lib.audioio_stream_frames.argtypes = [ctypes.c_void_p]
+        lib.audioio_stream_read.restype = ctypes.c_int
+        lib.audioio_stream_read.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_float)]
+        lib.audioio_stream_close.restype = None
+        lib.audioio_stream_close.argtypes = [ctypes.c_void_p]
         _lib = lib
     return _lib
+
+
+class StreamReader:
+    """Random-access block reader over an audio file (native runtime).
+
+    WAV streams directly from disk (no full decode) — the host-side data
+    loader for recordings larger than memory; FLAC falls back to an
+    in-memory decode.  Usage::
+
+        with StreamReader(path) as r:
+            block = r.read(start_frame, num_frames)   # (num, channels) f32
+    """
+
+    def __init__(self, path):
+        lib = _get_lib()
+        if lib is None:
+            raise OSError("native audioio unavailable")
+        self._lib = lib
+        self._h = lib.audioio_stream_open(os.fsencode(path))
+        if not self._h:
+            raise OSError(f"Cannot open {path}")
+        self.sample_rate = lib.audioio_stream_sample_rate(self._h)
+        self.channels = lib.audioio_stream_channels(self._h)
+        self.frames = lib.audioio_stream_frames(self._h)
+
+    def read(self, start, count):
+        count = min(count, self.frames - start)
+        out = np.empty((count, self.channels), dtype=np.float32)
+        ret = self._lib.audioio_stream_read(
+            self._h, int(start), int(count),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if ret != 0:
+            raise OSError(f"stream read failed at {start} (+{count}): {ret}")
+        return out
+
+    def close(self):
+        if self._h:
+            self._lib.audioio_stream_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def read_file(audio_path):

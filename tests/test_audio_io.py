@@ -49,6 +49,23 @@ def test_wav_roundtrip_f32(tmp_path, rng):
     np.testing.assert_array_equal(back, sig)
 
 
+def test_stream_reader_wav(tmp_path, rng):
+    sig = (rng.standard_normal((10000, 2)) * 0.2).astype(np.float32)
+    path = tmp_path / "s.wav"
+    audio_io.write_wav(path, sig, 48000)
+    with audio_io.StreamReader(str(path)) as r:
+        assert (r.sample_rate, r.channels, r.frames) == (48000, 2, 10000)
+        np.testing.assert_array_equal(r.read(5000, 100), sig[5000:5100])
+        assert r.read(9950, 100).shape == (50, 2)  # clipped at EOF
+
+
+def test_stream_reader_flac_fallback(samples_dir):
+    with audio_io.StreamReader(str(samples_dir / "flutter.flac")) as r:
+        full, sr, _ = audio_io.read_file(samples_dir / "flutter.flac")
+        assert r.frames == len(full)
+        np.testing.assert_array_equal(r.read(1000, 256), full[1000:1256])
+
+
 def test_write_file_suffix(tmp_path, rng):
     sig = rng.standard_normal(500).astype(np.float32) * 0.1
     src = tmp_path / "x.flac"
