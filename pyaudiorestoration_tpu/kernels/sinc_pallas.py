@@ -53,6 +53,127 @@ def _kernel(buf_ref, bs_ref, rel_ref, mask_ref, out_ref, *, nt, drift, max_n):
     out_ref[...] = acc
 
 
+def _kernel_dma(starts_ref, sig_ref, bs_ref, rel_ref, mask_ref, offs_ref,
+                out_ref, buf_ref, sem, *, nt, drift, max_n, tile, L_pad):
+    """DMA variant: each segment row copies its contiguous signal window from
+    HBM into VMEM (strided row DMAs beat XLA's scalar-rate gather), then the
+    shift-MAC loop runs on the VMEM-resident buffer.
+
+    Window starts are 128-aligned for Mosaic; the residual per-row offset
+    (0..127) is removed by a 7-stage binary roll-alignment network.
+    """
+    U = nt + drift
+    i = pl.program_id(0)
+
+    def row_copy(r):
+        start = pl.multiple_of(starts_ref[i * tile + r], 128)
+        return pltpu.make_async_copy(
+            sig_ref.at[0, pl.ds(start, L_pad)], buf_ref.at[r], sem.at[r])
+
+    for r in range(tile):
+        row_copy(r).start()
+    for r in range(tile):
+        row_copy(r).wait()
+
+    buf = buf_ref[...]
+    # per-row left-roll by offs (0..127) via 7 conditional power-of-two rolls
+    offs = offs_ref[...]  # (tile, 1) int32 VMEM block
+    for bit in range(7):
+        amount = 1 << bit
+        take = ((offs >> bit) & 1).astype(jnp.float32)
+        rolled = pltpu.roll(buf, L_pad - amount, axis=1)
+        buf = take * rolled + (1.0 - take) * buf
+
+    bs = bs_ref[...]
+    rel = rel_ref[...]
+    in_seg = mask_ref[...]
+    k = jax.lax.broadcasted_iota(jnp.int32, bs.shape, dimension=1).astype(jnp.float32)
+    ind_local = jnp.round(rel)
+    shift = rel - ind_local
+    fc = jnp.minimum(bs, 1.0)
+    m = ind_local - k
+    acc = jnp.zeros(bs.shape, jnp.float32)
+    for v in range(2 * U):
+        jf = (float(v) - U) - m
+        valid = (jf >= -nt) & (jf < nt)
+        x = (jf - shift) * fc
+        hann = 0.5 - 0.5 * jnp.cos(np.pi * (jf + nt) / nt)
+        w = jnp.where(valid, jnp.sinc(x) * fc * hann, 0.0) * in_seg
+        seg = (buf if v == 0 else pltpu.roll(buf, L_pad - v, axis=1))[:, :max_n]
+        acc = acc + seg * w
+    out_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("max_n", "nt", "drift", "tile", "interpret"))
+def sinc_banded_pallas_dma(sig, speeds, n, base_int, base_frac, max_n: int,
+                           nt: int = 50, drift: int = 32, tile: int = 8,
+                           interpret: bool = False):
+    """Banded sinc with in-kernel HBM->VMEM row DMA (scalar-prefetched window
+    starts).  Replaces the precomputed gather buffer of
+    ``sinc_banded_pallas`` — the gather is what scales superlinearly in the
+    XLA formulation.
+
+    Status: verified in interpreter mode.  On current Mosaic the per-row DMA
+    destination (a single row of the VMEM scratch) violates the sublane-8
+    slice-shape constraint; compiling on-chip needs a packed window layout
+    (8 rows per DMA) — tracked as a follow-up.  Use ``sinc_banded_pallas``
+    (roll-based, precomputed buffer) on hardware."""
+    n_in = sig.shape[0]
+    T = n.shape[0]
+    U = nt + drift
+    L = max_n + 2 * U
+    L_pad = -(-L // 1024) * 1024  # 1D HBM slices must align to (1024,) tiling
+    kf = jnp.arange(max_n, dtype=jnp.float32)[None, :]
+    ki = jnp.arange(max_n, dtype=jnp.int32)[None, :]
+    denom = jnp.maximum(n[:, None] - 1, 1).astype(jnp.float32)
+    bs = speeds[:-1, None] + kf / denom * (speeds[1:, None] - speeds[:-1, None])
+    in_seg_b = ki < n[:, None]
+    inv = jnp.where(in_seg_b, 1.0 / bs, 0.0)
+    rel = jnp.cumsum(inv, axis=1) + base_frac[:, None]
+    # zero-pad the signal so every (128-aligned) window is in range and
+    # out-of-signal taps read exact zeros; extra 128 covers the alignment
+    sig_p = jnp.pad(sig, (U, max_n + U + 128 + L_pad - L))
+    starts_raw = base_int  # shifted by +U by the padding: base_int - U + U
+    in_seg = in_seg_b.astype(jnp.float32)
+
+    pad_t = (-T) % tile
+    if pad_t:
+        bs = jnp.pad(bs, ((0, pad_t), (0, 0)), constant_values=1.0)
+        rel = jnp.pad(rel, ((0, pad_t), (0, 0)))
+        in_seg = jnp.pad(in_seg, ((0, pad_t), (0, 0)))
+        starts_raw = jnp.pad(starts_raw, (0, pad_t))
+    Tp = T + pad_t
+    starts_raw = jnp.clip(starts_raw, 0, sig_p.shape[0] - L_pad - 128)
+    starts = (starts_raw // 128) * 128
+    offs = starts_raw - starts
+
+    kernel = functools.partial(_kernel_dma, nt=nt, drift=drift, max_n=max_n,
+                               tile=tile, L_pad=L_pad)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Tp // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # signal stays in HBM
+            pl.BlockSpec((tile, max_n), lambda i, *_: (i, 0)),
+            pl.BlockSpec((tile, max_n), lambda i, *_: (i, 0)),
+            pl.BlockSpec((tile, max_n), lambda i, *_: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i, *_: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, max_n), lambda i, *_: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((tile, L_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((tile,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Tp, max_n), jnp.float32),
+        interpret=interpret,
+    )(starts, sig_p[None, :], bs, rel, in_seg, offs[:, None])
+    return out[:T]
+
+
 @functools.partial(jax.jit, static_argnames=("max_n", "nt", "drift", "tile", "interpret"))
 def sinc_banded_pallas(sig, speeds, n, base_int, base_frac, max_n: int,
                        nt: int = 50, drift: int = 32, tile: int = 8,

@@ -27,3 +27,6 @@ def test_sinc_pallas_matches_banded_xla():
     got = np.asarray(sinc_pallas.sinc_banded_pallas(
         *args, int(plan["max_n"]), 30, drift, tile=8, interpret=True))
     np.testing.assert_allclose(got, ref, atol=3e-5)
+    got_dma = np.asarray(sinc_pallas.sinc_banded_pallas_dma(
+        *args, int(plan["max_n"]), 30, drift, tile=8, interpret=True))
+    np.testing.assert_allclose(got_dma, ref, atol=3e-5)
