@@ -62,9 +62,11 @@ def main():
     NUs = jax.device_put(jnp.full((n_frames,), NU, jnp.int32))
     max_n = int(hop * 1.1)
 
+    backend = rdev._sinc_backend("auto")
+
     def run():
         padded = rdev.restore_fused_device(sig_dev, NLs, NUs, fft_size, hop, zp,
-                                           max_n, q, 16)
+                                           max_n, q, 16, backend=backend)
         # a dependent scalar fetch forces execution (block_until_ready is a
         # no-op through this environment's device relay)
         return float(jnp.sum(padded))

@@ -364,11 +364,25 @@ def _split_cumsum_exclusive(x, block: int = 1024):
     return ints.reshape(-1)[:T], fracs.reshape(-1)[:T]
 
 
+def _sinc_backend(backend: str):
+    if backend == "auto":
+        import jax as _jax
+
+        try:
+            if _jax.devices()[0].platform == "tpu":
+                return "pallas"
+        except Exception:
+            pass
+        return "xla"
+    return backend
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "n_fft", "step", "zeropad", "max_n", "nt", "drift", "window_name"))
+    "n_fft", "step", "zeropad", "max_n", "nt", "drift", "window_name", "backend"))
 def restore_fused_device(x, NL, NU, n_fft: int, step: int, zeropad: int,
                          max_n: int, nt: int = 50, drift: int = 64,
-                         window_name: str = "blackmanharris"):
+                         window_name: str = "blackmanharris",
+                         backend: str = "xla"):
     """Single-jit end-to-end restoration: STFT -> peak track -> speed curve ->
     dithered position plan -> banded sinc, with ZERO mid-pipeline host
     round-trips.
@@ -417,6 +431,11 @@ def restore_fused_device(x, NL, NU, n_fft: int, step: int, zeropad: int,
         )).reshape(-1)[:T]
 
     base_int, base_frac = _split_cumsum_exclusive(A)
+    if backend == "pallas":
+        from ..kernels.sinc_pallas import sinc_banded_pallas_dma
+
+        return sinc_banded_pallas_dma(x, speeds, n, base_int, base_frac,
+                                      max_n, nt, drift)
     return sinc_banded_device(x, speeds, n, base_int, base_frac, max_n, nt, drift)
 
 
