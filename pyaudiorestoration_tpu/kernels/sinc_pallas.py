@@ -160,7 +160,7 @@ def sinc_banded_pallas_dma(sig, speeds, n, base_int, base_frac, max_n: int,
         num_scalar_prefetch=1,
         grid=(Tp // tile,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # signal stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # signal stays in HBM
             pl.BlockSpec((tile, max_n), lambda i, *_: (i, 0)),
             pl.BlockSpec((tile, max_n), lambda i, *_: (i, 0)),
             pl.BlockSpec((tile, max_n), lambda i, *_: (i, 0)),
