@@ -53,6 +53,14 @@ def build_parser():
     sp.add_argument("--f0", type=float, default=None,
                     help="target frequency for --fast tracking")
 
+    sp = sub.add_parser("respeed-batch",
+                        help="data-parallel wow/flutter fix over the device mesh")
+    sp.add_argument("inputs", nargs="+")
+    sp.add_argument("--f0", type=float, required=True,
+                    help="pilot/target frequency to track")
+    sp.add_argument("--fft-size", type=int, default=512)
+    sp.add_argument("--step", type=int, default=128)
+
     sp = sub.add_parser("tapesync", help="align source to reference (pytapesynch)")
     sp.add_argument("reference")
     sp.add_argument("source", nargs="?", help="omit when reference is a .tapesync project")
@@ -160,6 +168,11 @@ def main(argv=None):
                 resampling_mode=args.resampling_mode,
                 sinc_quality=args.sinc_quality, suffix=args.suffix)
         print(json.dumps({"outputs": out}))
+    elif args.cmd == "respeed-batch":
+        from .parallel import batch
+        outs = batch.restore_batch_files(args.inputs, args.f0,
+                                         n_fft=args.fft_size, step=args.step)
+        print(json.dumps({"outputs": outs}))
     elif args.cmd == "tapesync":
         from .pipelines import tapesynch
         from .utils import project

@@ -164,14 +164,17 @@ def _overlap_add(ytmp, hop: int, out_len: int):
     return y.at[idx.reshape(-1)].add(ytmp.reshape(-1), mode="drop")
 
 
-@functools.partial(jax.jit, static_argnames=("hop_length", "win_length", "window_name", "center", "length", "n_frames"))
+@functools.partial(jax.jit, static_argnames=("hop_length", "win_length", "window_name", "center", "length", "n_frames", "zeropad"))
 def _istft_1d(stft_matrix, hop_length: int, win_length: int, window_name: str,
-              center: bool, length: int | None, n_frames: int):
-    n_fft = 2 * (stft_matrix.shape[0] - 1)
+              center: bool, length: int | None, n_frames: int, zeropad: int = 1):
+    n_fft_padded = 2 * (stft_matrix.shape[0] - 1)
+    n_fft = n_fft_padded // zeropad
     mat = stft_matrix[:, :n_frames] * np.sqrt(n_fft)  # denormalize
     window = jnp.asarray(pad_center(get_window(window_name, win_length), n_fft))
-    # (n_freqs, n_frames) -> frames on rows for the overlap-add
-    ytmp = jnp.fft.irfft(mat, n=n_fft, axis=0).T * window[None, :]
+    # (n_freqs, n_frames) -> frames on rows for the overlap-add; with zeropad
+    # the inverse frame is the zero-padded analysis frame, so crop to n_fft
+    # (this closes the reference's 'implement zeropad' TODO, fourier.py:315)
+    ytmp = jnp.fft.irfft(mat, n=n_fft_padded, axis=0)[:n_fft].T * window[None, :]
     expected_len = n_fft + hop_length * (n_frames - 1)
     y = _overlap_add(ytmp, hop_length, expected_len)
 
@@ -193,14 +196,16 @@ def _istft_1d(stft_matrix, hop_length: int, win_length: int, window_name: str,
 
 
 def istft(stft_matrix, hop_length=None, win_length=None, window_name="blackmanharris",
-          center=True, length=None):
+          center=True, length=None, zeropad=1):
     """Inverse STFT (least-squares Griffin-Lim style, fourier.py:314-437).
 
     ``stft_matrix``: (n_freqs, n_frames) complex.  Frame trimming for a target
-    ``length`` matches the reference exactly.
+    ``length`` matches the reference exactly.  ``zeropad`` inverts spectra
+    produced with ``stft(..., zeropad=k)`` (the reference leaves this
+    unimplemented, fourier.py:315).
     """
     stft_matrix = jnp.asarray(stft_matrix)
-    n_fft = 2 * (stft_matrix.shape[0] - 1)
+    n_fft = 2 * (stft_matrix.shape[0] - 1) // int(zeropad)
     if win_length is None:
         win_length = n_fft
     if hop_length is None:
@@ -211,7 +216,8 @@ def istft(stft_matrix, hop_length=None, win_length=None, window_name="blackmanha
     else:
         n_frames = stft_matrix.shape[1]
     return _istft_1d(stft_matrix, int(hop_length), int(win_length), window_name,
-                     center, None if length is None else int(length), int(n_frames))
+                     center, None if length is None else int(length), int(n_frames),
+                     int(zeropad))
 
 
 def fix_length(data, size: int, axis: int = -1):

@@ -61,6 +61,18 @@ def test_roundtrip_blackmanharris(rng):
     assert snr > 60, snr
 
 
+def test_roundtrip_zeropad(rng):
+    """istft inverts zeropadded spectra (the reference's open TODO)."""
+    n = 20000
+    x = rng.standard_normal(n).astype(np.float32) * 0.5
+    spec = fourier.stft(x, 512, 128, window_name="hann", zeropad=4)
+    y = np.asarray(fourier.istft(spec, hop_length=128, window_name="hann",
+                                 length=n, zeropad=4))
+    sl = slice(512, n - 512)
+    err = np.abs(y[sl] - x[sl]).max()
+    assert err < 1e-3, err
+
+
 def test_fft_freqs():
     f = fourier.fft_freqs(1024, 44100)
     assert f.shape == (513,)
