@@ -6,6 +6,24 @@ import numpy as np
 from pyaudiorestoration_tpu.pipelines import respeeder_device as rdev
 
 
+def test_split_cumsum_exclusive_precision():
+    """(int, frac) split cumsum stays sub-sample accurate at magnitudes where
+    plain float32 cumsum loses whole samples."""
+    rng = np.random.default_rng(11)
+    x = (512.0 + rng.standard_normal(200000) * 5).astype(np.float64)  # ~1e8 total
+    ints, fracs = rdev._split_cumsum_exclusive(jnp.asarray(x.astype(np.float32)))
+    ref = np.concatenate([[0.0], np.cumsum(x)[:-1]])
+    got = np.asarray(ints, dtype=np.float64) + np.asarray(fracs, dtype=np.float64)
+    # input quantization to f32 costs ~1e-4 per element (random walk); the
+    # split representation must not add magnitude-dependent error on top
+    err = np.abs(got - ref)
+    assert err.max() < 0.5, err.max()
+    assert np.all(np.asarray(fracs) >= 0) and np.all(np.asarray(fracs) < 1)
+    # against the f32-quantized truth the split cumsum is near-exact
+    ref32 = np.concatenate([[0.0], np.cumsum(x.astype(np.float32).astype(np.float64))[:-1]])
+    assert np.abs(got - ref32).max() < 2e-2
+
+
 def test_fused_matches_hybrid():
     sr = 44100
     n = 2 * sr
