@@ -261,6 +261,11 @@ def sinc_banded_device(sig, speeds, n, base_int, base_frac, max_n: int,
     (TPU gathers are scalar-rate; this is the speed-of-light formulation).
     Output matches ``sinc_padded_device`` exactly where |anchor - k| <= drift.
     """
+    if sig.ndim == 2:
+        # multi-channel (C, n): identical plan, vmap the kernel over channels
+        return jax.vmap(lambda ch: sinc_banded_device(
+            ch, speeds, n, base_int, base_frac, max_n, nt, drift, seg_tile))(sig)
+
     n_in = sig.shape[0]
     T = n.shape[0]
     U = nt + drift
@@ -296,11 +301,6 @@ def sinc_banded_device(sig, speeds, n, base_int, base_frac, max_n: int,
 
         return jax.lax.fori_loop(0, 2 * U, body,
                                  jnp.zeros((nn.shape[0], max_n), jnp.float32))
-
-    if sig.ndim == 2:
-        # multi-channel: identical plan, vmap the kernel over channels
-        return jax.vmap(lambda ch: sinc_banded_device(
-            ch, speeds, n, base_int, base_frac, max_n, nt, drift, seg_tile))(sig)
 
     if T <= seg_tile:
         return run_tile((speeds[:-1], speeds[1:], n, base_int, base_frac))
