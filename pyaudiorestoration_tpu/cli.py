@@ -52,6 +52,8 @@ def build_parser():
                     help="device-resident pipeline (auto pilot-tone tracking)")
     sp.add_argument("--f0", type=float, default=None,
                     help="target frequency for --fast tracking")
+    sp.add_argument("--save-project", action="store_true",
+                    help="write the traced markers to <audio>.spd (GUI Save parity)")
 
     sp = sub.add_parser("respeed-batch",
                         help="data-parallel wow/flutter fix over the device mesh")
@@ -71,6 +73,8 @@ def build_parser():
     sp.add_argument("--smoothing", type=int, default=3)
     sp.add_argument("--sinc-quality", type=int, default=50)
     sp.add_argument("--suffix", default="")
+    sp.add_argument("--save-project", action="store_true",
+                    help="write lag markers to <source>.tapesync (GUI Save parity)")
 
     sp = sub.add_parser("heal", help="dropout healing (dropout_healer)")
     sp.add_argument("input")
@@ -166,7 +170,8 @@ def main(argv=None):
                 fft_overlap=args.fft_overlap, zeropad=args.zeropad,
                 tolerance=args.tolerance, trail=trail,
                 resampling_mode=args.resampling_mode,
-                sinc_quality=args.sinc_quality, suffix=args.suffix)
+                sinc_quality=args.sinc_quality, suffix=args.suffix,
+                save_project=args.save_project)
         print(json.dumps({"outputs": out}))
     elif args.cmd == "respeed-batch":
         from .parallel import batch
@@ -184,7 +189,8 @@ def main(argv=None):
         paths, samples, curve = tapesynch.align_files(
             ref, src, out_suffix=args.suffix, num_windows=args.windows,
             window_s=args.window_s, lower=args.lower, upper=args.upper,
-            smoothing=args.smoothing, sinc_quality=args.sinc_quality)
+            smoothing=args.smoothing, sinc_quality=args.sinc_quality,
+            save_project=args.save_project)
         print(json.dumps({"outputs": paths,
                           "lags": [s.to_cfg() for s in samples]}))
     elif args.cmd == "heal":

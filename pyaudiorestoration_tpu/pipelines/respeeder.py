@@ -98,7 +98,7 @@ def run_project(project_path, audio_path=None, out_suffix=""):
 
 def restore_file(audio_path, mode="Peak", fft_size=1024, fft_overlap=4, zeropad=1,
                  tolerance=1.0, trail=None, resampling_mode="Sinc", sinc_quality=50,
-                 suffix="", bands=DEFAULT_BANDS):
+                 suffix="", bands=DEFAULT_BANDS, save_project=False):
     """One-shot wow/flutter fix: trace the strongest tone and resample.
 
     If no trail is given, seed the tracker with the loudest stable frequency
@@ -115,6 +115,15 @@ def restore_file(audio_path, mode="Peak", fft_size=1024, fft_overlap=4, zeropad=
         logging.info(f"Auto trail at {f0:.1f} Hz")
     line = trace_trail(signal, sr, trail, mode, fft_size, fft_overlap, zeropad,
                        tolerance, spectrum=spectrum)
+    if save_project:
+        # GUI Save parity: markers + visible settings (widgets.py:1224-1234)
+        proj = project.Project(".spd", {
+            "source": audio_path, "fft_size": fft_size, "fft_overlap": fft_overlap,
+            "fft_zeropad": zeropad, "mode": mode, "tolerance": tolerance,
+            "resampling_mode": resampling_mode, "sinc_quality": sinc_quality,
+            "suffix": suffix,
+        }, {"lines": [line], "regs": []})
+        proj.save(project.project_path_for(audio_path, ".spd"))
     return respeed((audio_path,), lines=[line], sr=sr, hop=hop, duration=duration,
                    bands=bands, resampling_mode=resampling_mode,
                    sinc_quality=sinc_quality, suffix=suffix,

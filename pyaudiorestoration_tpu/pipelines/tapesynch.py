@@ -191,7 +191,7 @@ def auto_align(ref_signal, src_signal, sr, num_windows=8, window_s=1.0,
 
 def align_files(ref_path, src_path, out_suffix="", num_windows=8, window_s=1.0,
                 lower=100.0, upper=None, smoothing=3, use_channels=(),
-                resampling_mode="Sinc", sinc_quality=50):
+                resampling_mode="Sinc", sinc_quality=50, save_project=False):
     """BASELINE config 4: align ``src`` to ``ref`` and write the resampled
     source (pytapesynch_gui.py:145-155)."""
     ref_signal, sr, _ = audio_io.read_file(ref_path)
@@ -201,6 +201,15 @@ def align_files(ref_path, src_path, out_suffix="", num_windows=8, window_s=1.0,
     samples, lag_curve = auto_align(ref_signal, src_signal, sr,
                                     num_windows=num_windows, window_s=window_s,
                                     lower=lower, upper=upper, smoothing=smoothing)
+    if save_project:
+        from ..utils import project
+
+        proj = project.Project(".tapesync", {
+            "reference": ref_path, "source": src_path, "smoothing": smoothing,
+            "resampling_mode": resampling_mode, "sinc_quality": sinc_quality,
+            "suffix": out_suffix,
+        }, {"lags": samples, "azimuths": []})
+        proj.save(project.project_path_for(src_path, ".tapesync"))
     paths = resampling.run(
         (src_path,), signal_data=((src_signal, sr),), lag_curve=lag_curve,
         resampling_mode=resampling_mode, sinc_quality=sinc_quality,

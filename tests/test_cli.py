@@ -25,21 +25,31 @@ def test_cli_respeed(tmp_path, capsys):
     src = tmp_path / "wow.wav"
     audio_io.write_wav(src, sig, sr)
     res = run_cli(capsys, "respeed", str(src), "--fft-size", "2048",
-                  "--fft-overlap", "8", "--zeropad", "2", "--sinc-quality", "16")
+                  "--fft-overlap", "8", "--zeropad", "2", "--sinc-quality", "16",
+                  "--save-project")
     assert res["outputs"][0].endswith("_res.wav")
     out, osr, _ = audio_io.read_file(res["outputs"][0])
     assert osr == sr and len(out) > sr
+    # GUI Save parity: the traced line landed in a loadable .spd project
+    from pyaudiorestoration_tpu.utils import project
+    proj = project.Project.load(str(tmp_path / "wow.spd"))
+    assert len(proj.marker_list("lines")) == 1
+    assert proj.fft_size == 2048
 
 
 def test_cli_tapesync(tmp_path, capsys, samples_dir):
+    from pyaudiorestoration_tpu.utils import project
     ref = tmp_path / "rhythm.flac"
     src = tmp_path / "rhythm5.flac"
     shutil.copy(samples_dir / "rhythm.flac", ref)
     shutil.copy(samples_dir / "rhythm+5percent.flac", src)
     res = run_cli(capsys, "tapesync", str(ref), str(src), "--windows", "6",
-                  "--window-s", "0.5", "--sinc-quality", "8")
+                  "--window-s", "0.5", "--sinc-quality", "8", "--save-project")
     assert len(res["outputs"]) == 1
     assert len(res["lags"]) >= 4
+    proj = project.Project.load(str(tmp_path / "rhythm5.tapesync"))
+    assert len(proj.marker_list("lags")) >= 4
+    assert proj.settings["reference"].endswith("rhythm.flac")
 
 
 def test_cli_heal_project(tmp_path, capsys, samples_dir):
