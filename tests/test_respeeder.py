@@ -63,6 +63,25 @@ def test_respeeder_flutter_fixture(tmp_path, samples_dir):
     assert after < before * 0.35, (before, after)
 
 
+def test_run_project_headless(tmp_path):
+    """Save a .spd via the trace pipeline, then execute it headlessly —
+    the GUI project workflow end to end."""
+    sr = 22050
+    sig = make_wow_tone(sr=sr, duration=2.0, f0=2000.0)
+    src = tmp_path / "take.wav"
+    audio_io.write_wav(src, sig, sr)
+    respeeder.restore_file(str(src), mode="Peak", fft_size=2048, fft_overlap=8,
+                           zeropad=2, sinc_quality=16, save_project=True)
+    proj_path = tmp_path / "take.spd"
+    assert proj_path.is_file()
+    paths = respeeder.run_project(str(proj_path), out_suffix="_p2")
+    out, osr, _ = audio_io.read_file(paths[0])
+    assert osr == sr
+    before = tone_stability(sig.astype(float), sr)
+    after = tone_stability(out[:, 0].astype(float), osr)
+    assert after < before * 0.3
+
+
 def test_spd_project_roundtrip(tmp_path):
     line = mk.TraceLine([0.0, 1.0, 2.0], [440.0, 445.0, 442.0], offset=0.1)
     reg = mk.RegLine(0.5, 1.5, 0.01, 3.2, 0.1, 0.0)
