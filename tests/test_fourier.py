@@ -21,7 +21,11 @@ def np_stft_reference(x, n_fft, step, window_name="blackmanharris", zeropad=1):
     return out / np.sqrt(n_fft)
 
 
-@pytest.mark.parametrize("n_fft,step,zeropad", [(256, 128, 1), (512, 64, 1), (1024, 256, 2), (128, 32, 4)])
+@pytest.mark.parametrize("n_fft,step,zeropad", [
+    (256, 128, 1), (512, 64, 1), (1024, 256, 2), (128, 32, 4),
+    (256, 100, 1),  # hop does not divide n_fft -> iota-gather framing path
+    (512, 512, 1),  # no overlap
+])
 def test_stft_parity(rng, n_fft, step, zeropad):
     x = rng.standard_normal(10000).astype(np.float32)
     ref = np_stft_reference(x, n_fft, step, zeropad=zeropad)
