@@ -210,7 +210,8 @@ def _masked_peak_local(spec_local, f0_bin, tol_bins):
 
 
 def restore_step(mesh: Mesh, x, f0_hz: float, sr: int, n_fft: int = 512,
-                 step: int = 128, tolerance_st: float = 2.0, drift_halo: int = 256):
+                 step: int = 128, tolerance_st: float = 2.0, drift_halo: int = 256,
+                 interp: str = "linear", nt: int = 8):
     """Full sharded wow/flutter restoration step — the flagship pipeline.
 
     (files, time) batch -> sharded STFT -> frame-parallel peak tracking ->
@@ -256,12 +257,28 @@ def restore_step(mesh: Mesh, x, f0_hz: float, sr: int, n_fft: int = 512,
         ext_sig = halo_exchange_right(xb, drift_halo, "time", n_time)
         base = shard_id * local
         rel = pos - base
-        rel = jnp.clip(rel, 0.0, local + drift_halo - 2.0)
-        i0 = jnp.floor(rel).astype(jnp.int32)
-        frac = (rel - i0).astype(xb.dtype)
-        g0 = jnp.take_along_axis(ext_sig, i0, axis=-1)
-        g1 = jnp.take_along_axis(ext_sig, i0 + 1, axis=-1)
-        return g0 * (1 - frac) + g1 * frac
+        if interp == "linear":
+            rel = jnp.clip(rel, 0.0, local + drift_halo - 2.0)
+            i0 = jnp.floor(rel).astype(jnp.int32)
+            frac = (rel - i0).astype(xb.dtype)
+            g0 = jnp.take_along_axis(ext_sig, i0, axis=-1)
+            g1 = jnp.take_along_axis(ext_sig, i0 + 1, axis=-1)
+            return g0 * (1 - frac) + g1 * frac
+        # windowed-sinc taps (reference convention: 2*nt taps, hann window,
+        # adaptive cutoff fc = min(speed, 1))
+        rel = jnp.clip(rel, float(nt), local + drift_halo - nt - 1.0)
+        ind = jnp.round(rel).astype(jnp.int32)
+        shift = (rel - ind).astype(xb.dtype)
+        fc = jnp.minimum(up, 1.0)
+        offs = np.arange(-nt, nt, dtype=np.int32)
+        idx = ind[..., None] + offs  # (B, local, 2nt)
+        g = jnp.take_along_axis(ext_sig, idx.reshape(idx.shape[0], -1),
+                                axis=-1).reshape(idx.shape)
+        jf = offs.astype(np.float32)[None, None, :] - shift[..., None]
+        xw = jf * fc[..., None]
+        hann = 0.5 - 0.5 * jnp.cos(np.pi * (offs + nt) / nt)
+        w = jnp.sinc(xw) * fc[..., None] * hann[None, None, :]
+        return jnp.sum(g * w, axis=-1)
 
     return shard_map(
         fn, mesh=mesh,
