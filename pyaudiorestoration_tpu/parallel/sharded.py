@@ -265,14 +265,17 @@ def restore_step(mesh: Mesh, x, f0_hz: float, sr: int, n_fft: int = 512,
             g1 = jnp.take_along_axis(ext_sig, i0 + 1, axis=-1)
             return g0 * (1 - frac) + g1 * frac
         # windowed-sinc taps (reference convention: 2*nt taps, hann window,
-        # adaptive cutoff fc = min(speed, 1))
-        rel = jnp.clip(rel, float(nt), local + drift_halo - nt - 1.0)
+        # adaptive cutoff fc = min(speed, 1)); needs a LEFT halo as well so
+        # taps reaching into the previous shard are real samples
+        left = _right_ppermute(xb[..., -nt:], "time", n_time)
+        ext2 = jnp.concatenate([left, ext_sig], axis=-1)
+        rel = jnp.clip(rel, 0.0, local + drift_halo - nt - 1.0) + nt
         ind = jnp.round(rel).astype(jnp.int32)
         shift = (rel - ind).astype(xb.dtype)
         fc = jnp.minimum(up, 1.0)
         offs = np.arange(-nt, nt, dtype=np.int32)
         idx = ind[..., None] + offs  # (B, local, 2nt)
-        g = jnp.take_along_axis(ext_sig, idx.reshape(idx.shape[0], -1),
+        g = jnp.take_along_axis(ext2, idx.reshape(idx.shape[0], -1),
                                 axis=-1).reshape(idx.shape)
         jf = offs.astype(np.float32)[None, None, :] - shift[..., None]
         xw = jf * fc[..., None]
