@@ -39,11 +39,13 @@ def main():
 
     sig, sr, _ = audio_io.read_file(SAMPLE)
     reps = max(1, int(REPEAT_S * sr / len(sig)))
-    big = np.tile(sig[:, 0], reps)
-    audio_seconds = len(big) / sr
+    mono = np.tile(sig[:, 0], reps)
+    # the north star take is STEREO: run both channels through the shared curve
+    big = np.stack([mono, mono * 0.8])
+    audio_seconds = big.shape[1] / sr
 
     # detect the pilot tone once (host, tiny FFT of a slice)
-    probe = big[: 1 << 18]
+    probe = mono[: 1 << 18]
     spec = np.abs(np.fft.rfft(probe * np.hanning(len(probe))))
     f0 = float(np.argmax(spec[10:]) + 10) / len(probe) * sr
 
@@ -52,7 +54,7 @@ def main():
 
     fft_size, overlap, zp, q = 4096, 8, 2, 50
     hop = fft_size // overlap
-    n = len(big)
+    n = big.shape[1]
     tol = 1.0 / 12
     num_bins = fft_size * zp // 2 + 1
     NL = max(1, min(num_bins - 1, int(round(max(1.0, f0 * 2 ** -tol) * fft_size * zp / sr))))
@@ -80,7 +82,7 @@ def main():
     wall = min(times)
     rtf = audio_seconds / wall
     print(json.dumps({
-        "metric": "192kHz flutter-correction realtime factor (1 chip, device-resident)",
+        "metric": "192kHz stereo flutter-correction realtime factor (1 chip, device-resident)",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 100.0, 3),

@@ -390,10 +390,16 @@ def restore_fused_device(x, NL, NU, n_fft: int, step: int, zeropad: int,
     The host plan's float64 cumsums become exact (int32 whole, float32 frac)
     scan carries: the dither ``round(cumsum(n_raw))`` and the segment base
     offsets both stay sub-sample accurate because the fractional part never
-    exceeds one sample.  Output is the (T-1, max_n) padded grid; entries with
-    k >= n_i are zero (mask/trim happens wherever the data lands next).
+    exceeds one sample.  Output is the (T-1, max_n) padded grid (with a
+    leading channel axis for 2D input); entries with k >= n_i are zero
+    (mask/trim happens wherever the data lands next).
+
+    ``x`` may be (n,) mono or (C, n) multi-channel — tracking runs on
+    channel 0 and all channels resample through the shared curve
+    (the reference's export contract, resampling.py:211-231).
     """
-    speeds = track_speed_device(x, NL, NU, n_fft, step, zeropad, window_name)
+    mono = x[0] if x.ndim == 2 else x
+    speeds = track_speed_device(mono, NL, NU, n_fft, step, zeropad, window_name)
     s_lo, s_hi = speeds[:-1], speeds[1:]
     n_raw = step * (s_lo + s_hi) / 2.0
 
@@ -434,8 +440,14 @@ def restore_fused_device(x, NL, NU, n_fft: int, step: int, zeropad: int,
     if backend == "pallas":
         from ..kernels.sinc_pallas import sinc_banded_pallas_dma
 
-        return sinc_banded_pallas_dma(x, speeds, n, base_int, base_frac,
-                                      max_n, nt, drift)
+        def one(ch):
+            return sinc_banded_pallas_dma(ch, speeds, n, base_int, base_frac,
+                                          max_n, nt, drift)
+
+        if x.ndim == 2:
+            # static channel loop (pallas_call has no vmap batching rule)
+            return jnp.stack([one(x[c]) for c in range(x.shape[0])])
+        return one(x)
     return sinc_banded_device(x, speeds, n, base_int, base_frac, max_n, nt, drift)
 
 
