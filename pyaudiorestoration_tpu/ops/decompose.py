@@ -68,11 +68,15 @@ def softmask(X, X_ref, power=1, split_zeros=False):
 
 def magphase(D, power=1):
     """Split complex spectrogram into magnitude**power and unit phase
-    (decompose.py:152-174)."""
+    (decompose.py:152-174).
+
+    The phasor is computed as ``D / |D|`` (two real divides) rather than
+    ``exp(1j*angle)`` — complex transcendentals are unimplemented on TPU.
+    """
     D = jnp.asarray(D)
-    mag = jnp.abs(D) ** power
-    phase = jnp.exp(1.0j * jnp.angle(D))
-    return mag, phase
+    mag = jnp.abs(D)
+    phase = D / jnp.maximum(mag, np.finfo(np.float32).tiny)
+    return mag ** power, phase
 
 
 def _median_pair(S, win_harm: int, win_perc: int):

@@ -14,6 +14,7 @@ from __future__ import annotations
 import itertools
 import logging
 
+import jax.numpy as jnp
 import numpy as np
 import scipy.signal
 
@@ -89,8 +90,10 @@ def heal(signal, sr, dropouts, fft_size=512, fft_overlap=16, channels=None):
     y_pad = np.asarray(fourier.fix_length(signal, n + fft_size // 2, axis=0))
     output = np.empty((n, len(channels)), dtype=signal.dtype)
     for out_c, channel in enumerate(channels):
-        spec = np.asarray(fourier.stft(y_pad[:, channel], n_fft=fft_size, step=hop))
-        spec_db = units.to_dB(np.abs(spec) + 1e-7)
+        # keep the complex spectrogram on device; only the real magnitude
+        # crosses to the host for the marker-driven gain-mask assembly
+        spec = fourier.stft(y_pad[:, channel], n_fft=fft_size, step=hop)
+        spec_db = units.to_dB(np.asarray(jnp.abs(spec) + 1e-7))
         gain_db_whole = np.zeros(spec.shape, dtype=float)
         for drop in dropouts:
             frame_b = _time_2_frame(drop.t - drop.width / 2, sr, hop)
@@ -108,7 +111,7 @@ def heal(signal, sr, dropouts, fft_size=512, fft_overlap=16, channels=None):
             gain_db = fp_db - spec_db[bin_l:bin_u, frame_b:frame_a]
             gain_db = np.clip(gain_db, gain_db_whole[bin_l:bin_u, frame_b:frame_a], 255)
             gain_db_whole[bin_l:bin_u, frame_b:frame_a] = gain_db
-        spec = spec * units.to_fac(gain_db_whole)
+        spec = spec * jnp.asarray(units.to_fac(gain_db_whole).astype(np.float32))
         output[:, out_c] = np.asarray(fourier.istft(spec, length=n, hop_length=hop))
     return output
 
@@ -180,12 +183,14 @@ def process_max_mono(file_path, fft_size=1024, fft_overlap=4):
         raise ValueError("expects stereo input")
     n = len(signal)
     y_pad = np.asarray(fourier.fix_length(signal, n + fft_size // 2, axis=0))
-    D_L = np.asarray(fourier.stft(y_pad[:, 0], n_fft=fft_size, step=hop))
-    D_R = np.asarray(fourier.stft(y_pad[:, 1], n_fft=fft_size, step=hop))
+    # complex spectrograms stay on device (complex transfers are slow or
+    # unsupported on some backends); the fold is elementwise anyway
+    D_L = fourier.stft(y_pad[:, 0], n_fft=fft_size, step=hop)
+    D_R = fourier.stft(y_pad[:, 1], n_fft=fft_size, step=hop)
     paths = []
-    for op_type, mask in (("max", np.abs(D_L) > np.abs(D_R)),
-                          ("min", np.abs(D_L) < np.abs(D_R))):
-        D_out = np.where(mask, D_L, D_R)
+    for op_type, mask in (("max", jnp.abs(D_L) > jnp.abs(D_R)),
+                          ("min", jnp.abs(D_L) < jnp.abs(D_R))):
+        D_out = jnp.where(mask, D_L, D_R)
         y_out = np.asarray(fourier.istft(D_out, length=n, hop_length=hop))
         paths.append(audio_io.write_file(file_path, y_out, sr, 1, suffix=op_type))
     return paths
