@@ -149,6 +149,17 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.DEBUG if args.verbose else logging.INFO,
                         format="%(levelname)s | %(message)s")
+    try:
+        return _dispatch(args)
+    except (OSError, ValueError) as e:
+        # user-facing input problems get a clean one-line exit, not a traceback
+        if args.verbose:
+            raise
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+def _dispatch(args):
     if args.cmd == "respeed":
         from .pipelines import respeeder
         if args.fast:
