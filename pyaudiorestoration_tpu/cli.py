@@ -213,6 +213,8 @@ def _dispatch(args):
             proj = project.Project.load(args.project)
             drops = proj.marker_list("dropouts")
             fft_size, overlap = proj.fft_size, proj.fft_overlap
+        elif args.detect is None:
+            raise ValueError("heal needs either --project or --detect T0 T1 F0 F1")
         else:
             fft_size, overlap = args.fft_size, args.fft_overlap
             signal, sr, _ = audio_io.read_file(args.input)

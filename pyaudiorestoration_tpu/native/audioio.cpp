@@ -159,15 +159,21 @@ bool decode_flac_residual(BitReader& br, uint32_t block_size, int pred_order,
   uint32_t n_parts = 1u << part_order;
   if (block_size % n_parts) return false;
   uint32_t part_len = block_size >> part_order;
-  if (part_len <= (uint32_t)pred_order && n_parts == 1) return false;
+  // Spec requires (block_size >> partition_order) > predictor order for every
+  // partitioning; otherwise the first partition's count underflows as uint32
+  // and the write loop runs far past the block_size-sized buffer.
+  if (part_len <= (uint32_t)pred_order) return false;
   uint32_t idx = 0;
   for (uint32_t p = 0; p < n_parts; ++p) {
     uint32_t count = part_len - (p == 0 ? pred_order : 0);
     uint32_t param = (uint32_t)br.read_bits(param_bits);
+    if (br.error) return false;
     if (param == escape) {
       uint32_t raw_bits = (uint32_t)br.read_bits(5);
-      for (uint32_t i = 0; i < count; ++i)
+      for (uint32_t i = 0; i < count; ++i) {
         out[idx++] = raw_bits ? br.read_signed((int)raw_bits) : 0;
+        if (br.error) return false;
+      }
     } else {
       for (uint32_t i = 0; i < count; ++i) {
         uint32_t q = br.read_unary();
@@ -175,6 +181,7 @@ bool decode_flac_residual(BitReader& br, uint32_t block_size, int pred_order,
         uint64_t u = ((uint64_t)q << param) | r;
         // zigzag decode
         out[idx++] = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
+        if (br.error) return false;
       }
     }
     if (br.error) return false;
@@ -538,6 +545,12 @@ bool open_wav_stream(const char* path, StreamReader& s) {
   while (fread(chunk, 1, 8, f) == 8) {
     uint32_t len = rd_u32(chunk + 4);
     if (memcmp(chunk, "fmt ", 4) == 0) {
+      // Mirror decode_wav: a fmt chunk shorter than the 16 fixed bytes would
+      // make body.data() null / under-sized for the field reads below.
+      if (len < 16) {
+        fseek(f, (long)(len + (len & 1)), SEEK_CUR);
+        continue;
+      }
       std::vector<uint8_t> body(len);
       if (fread(body.data(), 1, len, f) != len) break;
       s.fmt = rd_u16(body.data());

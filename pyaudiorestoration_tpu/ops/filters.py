@@ -52,22 +52,25 @@ def _sos_section_scan(x, b0, b1, b2, a1, a2, zi):
     DF2T state space: s_n = A s_{n-1} + B x_n,  y_n = b0 x_n + s1_{n-1}
     with A = [[-a1, 1], [-a2, 0]], B = [b1 - a1*b0, b2 - a2*b0].
     """
-    n = x.shape[-1]
     A = jnp.array([[-a1, 1.0], [-a2, 0.0]], dtype=x.dtype)
     B = jnp.array([b1 - a1 * b0, b2 - a2 * b0], dtype=x.dtype)
-    As = jnp.broadcast_to(A, (n, 2, 2))
-    cs = x[..., None] * B  # (..., n, 2)
+    # Keep the time axis at -3 for BOTH leaves so associative_scan sees one
+    # consistent scan axis for arbitrary batch dims: cs (..., n, 2, 1),
+    # As broadcast to (..., n, 2, 2).
+    cs = (x[..., None] * B)[..., None]
+    As = jnp.broadcast_to(A, cs.shape[:-2] + (2, 2))
 
     def combine(left, right):
         A1, c1 = left
         A2, c2 = right
-        return jnp.matmul(A2, A1), jnp.einsum("...ij,...j->...i", A2, c1) + c2
+        return jnp.matmul(A2, A1), jnp.matmul(A2, c1) + c2
 
-    M, c = jax.lax.associative_scan(combine, (As, cs), axis=-3 if cs.ndim == 3 else 0)
+    M, c = jax.lax.associative_scan(combine, (As, cs), axis=-3)
     # s_n = M_n @ zi + c_n ; y_n needs s_{n-1}
-    s = jnp.einsum("...nij,j->...ni", M, zi.astype(x.dtype)) + c
-    s_prev = jnp.concatenate([jnp.broadcast_to(zi.astype(x.dtype), s[..., :1, :].shape),
-                              s[..., :-1, :]], axis=-2)
+    zi = zi.astype(x.dtype)
+    s = (jnp.matmul(M, zi[..., None, :, None]) + c)[..., 0]  # (..., n, 2)
+    s0 = jnp.broadcast_to(zi[..., None, :], s[..., :1, :].shape)
+    s_prev = jnp.concatenate([s0, s[..., :-1, :]], axis=-2)
     return b0 * x + s_prev[..., 0]
 
 
@@ -105,7 +108,8 @@ def _sosfiltfilt_device(x, sos_tuple, zi_tuple, padlen: int):
         s = sig
         for k in range(sos_arr.shape[0]):
             b0, b1, b2, _, a1, a2 = [float(v) for v in np.asarray(sos_arr)[k]]
-            s = _sos_section_scan(s, b0, b1, b2, a1, a2, jnp.asarray(zi_arr[k]) * x0)
+            s = _sos_section_scan(s, b0, b1, b2, a1, a2,
+                                  jnp.asarray(zi_arr[k]) * x0[..., None])
         return s
 
     fwd = run(ext)

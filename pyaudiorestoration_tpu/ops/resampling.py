@@ -185,14 +185,26 @@ def sinc_resample(signal, sample_at, quality: int = 50, tile: int = 16384,
     tiled-gather kernel does.
     """
     n_out = len(sample_at)
+    signal = np.asarray(signal, dtype=np.float32)
+    was_1d = signal.ndim == 1
+    if was_1d:
+        signal = signal[:, None]
     if n_out == 0:
-        return np.empty(0, np.float32)
-    sig = jnp.asarray(np.asarray(signal, dtype=np.float32))
+        out = np.empty((0, signal.shape[1]), np.float32)
+        return out[:, 0] if was_1d else out
+    sig = jnp.asarray(signal)
     sample_at = np.asarray(sample_at, dtype=np.float64)
+
+    # per-sample cutoff from the *unpadded* positions, the last period reused
+    # (reference convention, resampling.py:71; same as _positions_to_device_args)
+    period = np.diff(sample_at)
+    period = np.concatenate([period, period[-1:]]) if len(period) else np.ones(1)
+    fc = np.minimum(1.0 / np.maximum(period, 1e-12), 1.0).astype(np.float32)
 
     # try the banded layout: per-block anchors + small relative positions
     n_blocks = -(-n_out // block)
-    padded = np.pad(sample_at, (0, n_blocks * block - n_out), mode="edge")
+    grid_pad = n_blocks * block - n_out
+    padded = np.pad(sample_at, (0, grid_pad), mode="edge")
     pos_b = padded.reshape(n_blocks, block)
     anchors = np.round(pos_b[:, 0]).astype(np.int64)
     rel = pos_b - anchors[:, None]
@@ -201,25 +213,28 @@ def sinc_resample(signal, sample_at, quality: int = 50, tile: int = 16384,
         drift = 8
         while drift < drift_needed:
             drift *= 2
-        period = np.diff(padded)
-        period = np.concatenate([period, period[-1:]]) if len(period) else np.ones(1)
-        # reference convention: negative periods clamp to tiny -> fc = 1
-        fc = np.minimum(1.0 / np.maximum(period, 1e-12), 1.0).astype(np.float32)
-        out = _sinc_banded_blocks(
-            sig, jnp.asarray(anchors.astype(np.int32)),
-            jnp.asarray(rel.astype(np.float32)),
-            jnp.asarray(fc.reshape(n_blocks, block)), int(quality), drift, int(block))
-        return np.asarray(out).reshape(-1)[:n_out]
+        fc_b = np.pad(fc, (0, grid_pad), constant_values=1.0).reshape(n_blocks, block)
+        args = (jnp.asarray(anchors.astype(np.int32)),
+                jnp.asarray(rel.astype(np.float32)), jnp.asarray(fc_b))
+        out = jax.vmap(
+            lambda s: _sinc_banded_blocks(s, *args, int(quality), drift, int(block)),
+            in_axes=1, out_axes=-1)(sig)
+        out = np.asarray(out).reshape(-1, sig.shape[1])[:n_out]
+        return out[:, 0] if was_1d else out
 
-    ind, shift, fc = _positions_to_device_args(sample_at)
+    ind = np.round(sample_at).astype(np.int64)
+    shift = (sample_at - ind).astype(np.float32)
+    ind = ind.astype(np.int32)
     pad = (-n_out) % tile
     if pad:
         ind = np.pad(ind, (0, pad))
         shift = np.pad(shift, (0, pad))
         fc = np.pad(fc, (0, pad), constant_values=1.0)
-    out = _sinc_device(sig, jnp.asarray(ind), jnp.asarray(shift), jnp.asarray(fc),
-                       int(quality), int(tile))
-    return np.asarray(out[:n_out])
+    args = (jnp.asarray(ind), jnp.asarray(shift), jnp.asarray(fc))
+    out = jax.vmap(lambda s: _sinc_device(s, *args, int(quality), int(tile)),
+                   in_axes=1, out_axes=-1)(sig)
+    out = np.asarray(out[:n_out])
+    return out[:, 0] if was_1d else out
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -227,15 +242,22 @@ def _linear_device(sig, ind, frac):
     n_in = sig.shape[0]
     lo = jnp.clip(ind, 0, n_in - 1)
     hi = jnp.clip(ind + 1, 0, n_in - 1)
-    out = sig[lo] * (1.0 - frac) + sig[hi] * frac
     # reference uses np.interp(..., left=0, right=0)
     inside = (ind >= 0) & (ind <= n_in - 1)
     exact_end = (ind == n_in - 1) & (frac == 0)
-    return jnp.where(inside & ((ind < n_in - 1) | exact_end), out, 0.0)
+    keep = inside & ((ind < n_in - 1) | exact_end)
+    if sig.ndim > 1:
+        frac, keep = frac[:, None], keep[:, None]
+    out = sig[lo] * (1.0 - frac) + sig[hi] * frac
+    return jnp.where(keep, out, 0.0)
 
 
 def linear_resample(signal, sample_at):
-    """Linear-interpolation resampling, matching np.interp(left=0, right=0)."""
+    """Linear-interpolation resampling, matching np.interp(left=0, right=0).
+
+    ``signal`` may be 1D (time,) or 2D (time, channels); channels are
+    interpolated in ONE device call.
+    """
     sample_at = np.asarray(sample_at, dtype=np.float64)
     ind = np.floor(sample_at).astype(np.int64)
     frac = (sample_at - ind).astype(np.float32)
@@ -247,7 +269,8 @@ def linear_resample(signal, sample_at):
 def resample_ratio(signal, sr_from, sr_to, quality: int = 16, axis: int = 0):
     """Constant-ratio resampler (replaces resampy.resample usages).
 
-    signal may be 1D or 2D; ``axis`` is the time axis.
+    signal may be 1D or 2D; ``axis`` is the time axis.  All channels resample
+    in a single vmapped device call (no per-channel host sync).
     """
     signal = np.asarray(signal)
     ratio = float(sr_from) / float(sr_to)
@@ -256,9 +279,8 @@ def resample_ratio(signal, sr_from, sr_to, quality: int = 16, axis: int = 0):
     if signal.ndim == 1:
         return sinc_resample(signal, sample_at, quality=quality)
     moved = np.moveaxis(signal, axis, 0)
-    cols = [sinc_resample(moved[:, c], sample_at, quality=quality)
-            for c in range(moved.shape[1])]
-    return np.moveaxis(np.stack(cols, axis=1), 0, axis)
+    out = sinc_resample(moved, sample_at, quality=quality)
+    return np.moveaxis(out, 0, axis)
 
 
 def run(filenames, signal_data=None, speed_curve=None, resampling_mode="Linear",
@@ -300,14 +322,14 @@ def run(filenames, signal_data=None, speed_curve=None, resampling_mode="Linear",
                 raise ValueError("need speed_curve or lag_curve")
         channels = [c for c in use_channels if c < signal.shape[1]] or list(range(num_channels))
         with log_duration("Resampling"):
-            output = np.empty((len(sample_at), len(channels)), dtype=np.float32)
-            for out_channel, in_channel in enumerate(channels):
-                if resampling_mode == "Sinc":
-                    output[:, out_channel] = sinc_resample(
-                        signal[:, in_channel], sample_at, quality=sinc_quality)
-                else:
-                    output[:, out_channel] = linear_resample(signal[:, in_channel], sample_at)
-                progress((out_channel + 1) / len(channels) * 100)
+            # all channels in one vmapped device call (the reference fans a
+            # thread pool over channels+chunks, resampling.py:30-46)
+            sel = signal[:, channels]
+            if resampling_mode == "Sinc":
+                output = sinc_resample(sel, sample_at, quality=sinc_quality)
+            else:
+                output = linear_resample(sel, sample_at)
+            progress(100)
         with log_duration("Writing"):
             out_path = f"{os.path.splitext(filename)[0]}_res{suffix}.wav"
             audio_io.write_wav(out_path, output, sr)
