@@ -50,6 +50,9 @@ def build_parser():
     sp.add_argument("--suffix", default="")
     sp.add_argument("--fast", action="store_true",
                     help="device-resident pipeline (auto pilot-tone tracking)")
+    sp.add_argument("--stream", action="store_true",
+                    help="two-pass streamed restore for files larger than "
+                         "memory (implies --fast)")
     sp.add_argument("--f0", type=float, default=None,
                     help="target frequency for --fast tracking")
     sp.add_argument("--save-project", action="store_true",
@@ -162,13 +165,13 @@ def main(argv=None):
 def _dispatch(args):
     if args.cmd == "respeed":
         from .pipelines import respeeder
-        if args.fast:
+        if args.fast or args.stream:
             from .pipelines import respeeder_device
             out = [respeeder_device.restore_file_fast(
                 args.input, f0_hz=args.f0, tolerance_st=args.tolerance,
                 fft_size=args.fft_size, fft_overlap=args.fft_overlap,
                 zeropad=args.zeropad, sinc_quality=args.sinc_quality,
-                suffix=args.suffix)]
+                suffix=args.suffix, stream=True if args.stream else "auto")]
         elif args.input.endswith(".spd"):
             out = respeeder.run_project(args.input, out_suffix=args.suffix)
         else:

@@ -24,6 +24,7 @@ reference's 1/(p[i+1]-p[i]) evaluated in closed form.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -32,20 +33,23 @@ import numpy as np
 from ..ops.fourier import get_window
 from ..ops.resampling import _sinc_window
 
-__all__ = ["track_speed_device", "plan_positions", "sinc_padded_device",
-           "restore_device", "compact_output"]
+__all__ = ["track_speed_device", "track_peaks_span", "plan_positions",
+           "sinc_padded_device", "restore_device", "compact_output",
+           "restore_file_fast", "restore_file_streamed"]
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "step", "zeropad",
-                                              "window_name", "chunk_frames"))
-def track_speed_device(x, NL, NU, n_fft: int, step: int, zeropad: int = 1,
-                       window_name: str = "blackmanharris",
-                       chunk_frames: int = 4096):
-    """STFT + banded peak tracking + speed normalization, all on device.
+@functools.partial(jax.jit, static_argnames=("n_frames", "n_fft", "step",
+                                              "zeropad", "window_name",
+                                              "chunk_frames"))
+def track_peaks_span(xp, NL, NU, n_frames: int, n_fft: int, step: int,
+                     zeropad: int = 1, window_name: str = "blackmanharris",
+                     chunk_frames: int = 4096):
+    """Banded peak tracking over an already-padded span of samples.
 
-    x: (n,) waveform.  NL/NU: per-frame band limits (int32 device arrays).
-    Returns speeds (T,) centered on ~1.0 (the Peak tracker + TraceLine
-    normalization, wow_detection.py:294-304 + markers.py:190-192).
+    ``xp`` holds the samples frame 0 starts on (any centering/reflect padding
+    already applied); frame t covers ``xp[t*step : t*step+n_fft]``.  Returns
+    the refined (parabolic) peak bin per frame — the frame-parallel core of
+    the Peak tracker (wow_detection.py:294-304 + 119-134).
 
     The STFT streams through ``lax.map`` tiles of ``chunk_frames`` frames so
     HBM usage stays bounded for arbitrarily long recordings (the FFT temps of
@@ -53,12 +57,11 @@ def track_speed_device(x, NL, NU, n_fft: int, step: int, zeropad: int = 1,
     """
     assert n_fft % step == 0
     window = jnp.asarray(get_window(window_name, n_fft))
-    xp = jnp.pad(x.astype(jnp.float32), n_fft // 2, mode="reflect")
-    n_frames = (xp.shape[0] - n_fft) // step + 1
     ratio = n_fft // step
     n_chunks = -(-n_frames // chunk_frames)
     span = (chunk_frames + ratio - 1) * step
-    xp2 = jnp.pad(xp, (0, n_chunks * chunk_frames * step + span - xp.shape[0]))
+    xp2 = jnp.pad(xp.astype(jnp.float32),
+                  (0, max(0, n_chunks * chunk_frames * step + span - xp.shape[0])))
     pad_t = n_chunks * chunk_frames - n_frames
     NLp = jnp.pad(NL, (0, pad_t), constant_values=1)
     NUp = jnp.pad(NU, (0, pad_t), constant_values=2)
@@ -89,7 +92,32 @@ def track_speed_device(x, NL, NU, n_fft: int, step: int, zeropad: int = 1,
         jnp.arange(n_chunks),
         NLp.reshape(n_chunks, chunk_frames),
         NUp.reshape(n_chunks, chunk_frames)))
-    refined = refined.reshape(-1)[:n_frames]
+    return refined.reshape(-1)[:n_frames]
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "step", "zeropad",
+                                              "window_name", "chunk_frames"))
+def track_speed_device(x, NL, NU, n_fft: int, step: int, zeropad: int = 1,
+                       window_name: str = "blackmanharris",
+                       chunk_frames: int = 4096):
+    """STFT + banded peak tracking + speed normalization, all on device.
+
+    x: (n,) waveform.  NL/NU: per-frame band limits (int32 device arrays).
+    Returns speeds (T,) centered on ~1.0 (the Peak tracker + TraceLine
+    normalization, wow_detection.py:294-304 + markers.py:190-192).
+    """
+    xp = jnp.pad(x.astype(jnp.float32), n_fft // 2, mode="reflect")
+    n_frames = (xp.shape[0] - n_fft) // step + 1
+    refined = track_peaks_span(xp, NL, NU, n_frames, n_fft, step, zeropad,
+                               window_name, chunk_frames)
+    return normalize_speeds(refined)
+
+
+@jax.jit
+def normalize_speeds(refined):
+    """Refined peak bins -> speed curve centered on ~1.0 (TraceLine
+    normalization, markers.py:190-192).  Shared by the in-memory and the
+    streamed tracking paths so both produce bit-identical curves."""
     log_speed = jnp.log2(jnp.maximum(refined, 1.0))
     return jnp.power(2.0, log_speed - jnp.mean(log_speed))
 
@@ -451,32 +479,158 @@ def restore_fused_device(x, NL, NU, n_fft: int, step: int, zeropad: int,
     return sinc_banded_device(x, speeds, n, base_int, base_frac, max_n, nt, drift)
 
 
+def _band_limits(f0_hz, tolerance_st, fft_size, zeropad, sr):
+    """Fixed NL/NU bin band around a target frequency (semitone tolerance)."""
+    num_bins = fft_size * zeropad // 2 + 1
+    tol = tolerance_st / 12.0
+    NL = max(1, min(num_bins - 1,
+                    int(round(max(1.0, f0_hz * 2 ** -tol) * fft_size * zeropad / sr))))
+    NU = max(1, min(num_bins - 1,
+                    int(round(min(sr / 2, f0_hz * 2 ** tol) * fft_size * zeropad / sr))))
+    return NL, NU
+
+
+def _probe_f0(x, sr):
+    """Strongest-bin pilot-tone probe over the first ~2^18 samples."""
+    probe = np.asarray(x[: min(len(x), 1 << 18)], dtype=np.float32)
+    spec = np.abs(np.fft.rfft(probe * np.hanning(len(probe))))
+    return float(np.argmax(spec[10:]) + 10) / len(probe) * sr
+
+
+def restore_file_streamed(audio_path, f0_hz=None, tolerance_st: float = 1.0,
+                          fft_size: int = 4096, fft_overlap: int = 8,
+                          zeropad: int = 2, sinc_quality: int = 50,
+                          suffix: str = "", channel: int = 0, use_channels=None,
+                          frames_per_block: int = 65536, seg_tile: int = 16384):
+    """Larger-than-memory wow/flutter fix: two streamed passes over the file.
+
+    Pass 1 reads ``frames_per_block``-frame sample spans via the native
+    StreamReader and tracks peaks per span — frame-exact vs the in-memory
+    path because the masked-peak tracker is frame-local (the halo a frame
+    needs is read with the span, reference blockwise pattern:
+    experiments/pyrespeeder_cmd.py:16-49).  The frame-rate speed curve and
+    the position plan are the only whole-recording state held in memory
+    (~16 bytes/frame).  Pass 2 resamples ``seg_tile`` segments at a time
+    from a re-read input window and appends to a StreamWriter, so peak host
+    memory is one block regardless of recording length.
+    """
+    from ..utils import audio_io
+
+    hop = fft_size // fft_overlap
+    nt = int(sinc_quality)
+    with audio_io.StreamReader(audio_path) as reader:
+        sr, num_channels = reader.sample_rate, reader.channels
+        n = int(reader.frames)
+        channels = list(use_channels) if use_channels else list(range(num_channels))
+        if f0_hz is None:
+            f0_hz = _probe_f0(reader.read(0, min(n, 1 << 18))[:, channel], sr)
+        NL, NU = _band_limits(f0_hz, tolerance_st, fft_size, zeropad, sr)
+        pad = fft_size // 2
+        n_frames = (n + 2 * pad - fft_size) // hop + 1
+        frames_per_block = min(frames_per_block, n_frames)
+
+        # ---- pass 1: streamed banded peak tracking (frame-exact)
+        NLs = jnp.full((frames_per_block,), NL, jnp.int32)
+        NUs = jnp.full((frames_per_block,), NU, jnp.int32)
+        span_need = (frames_per_block - 1) * hop + fft_size
+        refined_parts = []
+        for t0 in range(0, n_frames, frames_per_block):
+            t1 = min(n_frames, t0 + frames_per_block)
+            lo = t0 * hop - pad
+            hi = (t1 - 1) * hop - pad + fft_size
+            rlo, rhi = max(0, lo), min(n, hi)
+            blk = reader.read(rlo, rhi - rlo)[:, channel].astype(np.float32)
+            if lo < 0 or hi > n:  # reflect only at the true file edges
+                blk = np.pad(blk, (rlo - lo, hi - rhi), mode="reflect")
+            blk = np.pad(blk, (0, span_need - len(blk)))
+            refined = np.asarray(track_peaks_span(
+                jnp.asarray(blk), NLs, NUs, frames_per_block, fft_size, hop,
+                zeropad))
+            refined_parts.append(refined[: t1 - t0])
+        speeds = np.asarray(normalize_speeds(
+            jnp.asarray(np.concatenate(refined_parts))))
+
+        # ---- global position plan (host, frame-rate sized)
+        plan = plan_positions_fast(speeds, hop, n)
+        drift = 8
+        while drift < plan["drift"]:
+            drift *= 2
+        U = nt + drift
+        max_n = int(plan["max_n"])
+        T = len(plan["n"])
+        speeds32 = speeds.astype(np.float32)
+        out_path = f"{os.path.splitext(audio_path)[0]}_res{suffix}.wav"
+
+        # ---- pass 2: tile the segment axis, re-read input windows, append
+        written = 0
+        with audio_io.StreamWriter(out_path, sr, len(channels)) as writer:
+            for a in range(0, T, seg_tile):
+                b = min(T, a + seg_tile)
+                nseg = b - a
+                lo = int(plan["base_int"][a]) - U
+                hi = int(plan["base_int"][b - 1]) + max_n + U + 2
+                rlo, rhi = max(0, lo), min(n, hi)
+                buf = reader.read(rlo, rhi - rlo)[:, channels]  # (span, C)
+                sig_dev = jnp.asarray(np.ascontiguousarray(buf.T))
+                n_t = np.zeros(seg_tile, np.int32)
+                n_t[:nseg] = plan["n"][a:b]
+                bi_t = np.zeros(seg_tile, np.int32)
+                bi_t[:nseg] = plan["base_int"][a:b] - rlo
+                bf_t = np.zeros(seg_tile, np.float32)
+                bf_t[:nseg] = plan["base_frac"][a:b]
+                s_t = np.ones(seg_tile + 1, np.float32)
+                s_t[: nseg + 1] = speeds32[a: b + 1]
+                padded = np.asarray(sinc_banded_device(
+                    sig_dev, jnp.asarray(s_t), jnp.asarray(n_t),
+                    jnp.asarray(bi_t), jnp.asarray(bf_t), max_n, nt, drift))
+                mask = np.arange(max_n)[None, :] < n_t[:, None]
+                tile_out = np.stack([padded[c][mask]
+                                     for c in range(len(channels))], axis=-1)
+                take = min(len(tile_out), plan["n_out"] - written)
+                writer.write(tile_out[:take])
+                written += take
+                if written >= plan["n_out"]:
+                    break
+    import logging
+
+    logging.info(f"Wrote {out_path}")
+    return out_path
+
+
 def restore_file_fast(audio_path, f0_hz=None, tolerance_st: float = 1.0,
                       fft_size: int = 4096, fft_overlap: int = 8, zeropad: int = 2,
                       sinc_quality: int = 50, suffix: str = "", channel: int = 0,
-                      use_channels=None):
+                      use_channels=None, stream="auto",
+                      stream_threshold_bytes: int = 1 << 30):
     """File-to-file wow/flutter fix through the device pipeline.
 
     Tracks on ``channel``, resamples all ``use_channels`` (default: all)
     through the shared speed curve — the reference's multi-channel export
     contract (resampling.py:211-231).  Auto-detects the pilot tone when
     ``f0_hz`` is None.  Returns the output path.
+
+    ``stream``: True forces the two-pass larger-than-memory path
+    (:func:`restore_file_streamed`); "auto" switches to it when the file
+    exceeds ``stream_threshold_bytes`` on disk.
     """
     from ..utils import audio_io
+
+    if stream is True or (stream == "auto"
+                          and os.path.getsize(audio_path) > stream_threshold_bytes):
+        return restore_file_streamed(
+            audio_path, f0_hz=f0_hz, tolerance_st=tolerance_st,
+            fft_size=fft_size, fft_overlap=fft_overlap, zeropad=zeropad,
+            sinc_quality=sinc_quality, suffix=suffix, channel=channel,
+            use_channels=use_channels)
 
     signal, sr, num_channels = audio_io.read_file(audio_path)
     channels = list(use_channels) if use_channels else list(range(num_channels))
     x = signal[:, channel]
     if f0_hz is None:
-        probe = x[: min(len(x), 1 << 18)]
-        spec = np.abs(np.fft.rfft(probe * np.hanning(len(probe))))
-        f0_hz = float(np.argmax(spec[10:]) + 10) / len(probe) * sr
+        f0_hz = _probe_f0(x, sr)
     hop = fft_size // fft_overlap
     n = len(x)
-    num_bins = fft_size * zeropad // 2 + 1
-    tol = tolerance_st / 12.0
-    NL = max(1, min(num_bins - 1, int(round(max(1.0, f0_hz * 2 ** -tol) * fft_size * zeropad / sr))))
-    NU = max(1, min(num_bins - 1, int(round(min(sr / 2, f0_hz * 2 ** tol) * fft_size * zeropad / sr))))
+    NL, NU = _band_limits(f0_hz, tolerance_st, fft_size, zeropad, sr)
     n_frames = (n + (fft_size // 2) * 2 - fft_size) // hop + 1
     NLs = jnp.full((n_frames,), NL, jnp.int32)
     NUs = jnp.full((n_frames,), NU, jnp.int32)
@@ -508,12 +662,7 @@ def restore_device(sig_dev, sr: int, f0_hz: float, tolerance_st: float = 1.0,
     hop = fft_size // fft_overlap
     n = int(sig_dev.shape[0])
     n_frames = (n + (fft_size // 2) * 2 - fft_size) // hop + 1
-    num_bins = fft_size * zeropad // 2 + 1
-    tol = tolerance_st / 12.0
-    fL = max(1.0, f0_hz * 2 ** (-tol))
-    fU = min(sr / 2, f0_hz * 2 ** tol)
-    NL = max(1, min(num_bins - 1, int(round(fL * fft_size * zeropad / sr))))
-    NU = max(1, min(num_bins - 1, int(round(fU * fft_size * zeropad / sr))))
+    NL, NU = _band_limits(f0_hz, tolerance_st, fft_size, zeropad, sr)
     NLs = jnp.full((n_frames,), NL, jnp.int32)
     NUs = jnp.full((n_frames,), NU, jnp.int32)
     speeds = track_speed_device(sig_dev, NLs, NUs, fft_size, hop, zeropad)

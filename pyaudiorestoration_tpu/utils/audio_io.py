@@ -137,6 +137,60 @@ class StreamReader:
             pass
 
 
+class StreamWriter:
+    """Incremental float32 WAV writer (header patched on close).
+
+    The output half of the larger-than-memory path: restored blocks append
+    as they leave the device, so peak host memory stays one block regardless
+    of recording length (reference pattern: experiments/pyrespeeder_cmd.py:
+    91-120 writes blockwise with soundfile).
+    """
+
+    def __init__(self, path, sr, channels):
+        self.path = path
+        self.sr = int(sr)
+        self.channels = int(channels)
+        self.frames = 0
+        self._f = open(path, "wb")
+        f = self._f
+        f.write(b"RIFF" + (0).to_bytes(4, "little") + b"WAVE")
+        f.write(b"fmt " + (16).to_bytes(4, "little"))
+        f.write((3).to_bytes(2, "little"))                      # IEEE float
+        f.write(self.channels.to_bytes(2, "little"))
+        f.write(self.sr.to_bytes(4, "little"))
+        f.write((self.sr * self.channels * 4).to_bytes(4, "little"))
+        f.write((self.channels * 4).to_bytes(2, "little"))
+        f.write((32).to_bytes(2, "little"))
+        f.write(b"data" + (0).to_bytes(4, "little"))
+
+    def write(self, block):
+        block = np.ascontiguousarray(np.asarray(block, dtype=np.float32))
+        if block.ndim == 1:
+            block = block[:, None]
+        assert block.shape[1] == self.channels
+        self._f.write(block.tobytes())
+        self.frames += block.shape[0]
+
+    def close(self):
+        if self._f is None:
+            return
+        data_len = self.frames * self.channels * 4
+        f = self._f
+        f.seek(4)
+        f.write((36 + data_len).to_bytes(4, "little"))
+        f.seek(40)
+        f.write(data_len.to_bytes(4, "little"))
+        f.close()
+        self._f = None
+        logging.info(f"Wrote {self.path} ({self.frames} frames, streamed)")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def read_file(audio_path):
     """Read an audio file (WAV or FLAC).
 
