@@ -45,6 +45,10 @@ def build_parser():
                     metavar="T F", help="trail points t0 f0 t1 f1 ...")
     _add_fft_args(sp, 1024, 8, 4)
     sp.add_argument("--tolerance", type=float, default=1.0)
+    sp.add_argument("--adaptation", default="None",
+                    choices=["None", "Constant", "Linear", "Average"],
+                    help="band prediction mode for Peak tracing "
+                         "(adapt_band, wow_detection.py:142-187)")
     sp.add_argument("--resampling-mode", default="Sinc", choices=["Sinc", "Linear"])
     sp.add_argument("--sinc-quality", type=int, default=50)
     sp.add_argument("--suffix", default="")
@@ -185,7 +189,7 @@ def _dispatch(args):
                 tolerance=args.tolerance, trail=trail,
                 resampling_mode=args.resampling_mode,
                 sinc_quality=args.sinc_quality, suffix=args.suffix,
-                save_project=args.save_project)
+                save_project=args.save_project, adapt=args.adaptation)
         print(json.dumps({"outputs": out}))
     elif args.cmd == "respeed-batch":
         from .parallel import batch

@@ -31,7 +31,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.interpolate
-import scipy.optimize
 from scipy.signal import get_window
 
 from ..ops import filters
@@ -118,9 +117,14 @@ def _masked_peak_per_frame(spec_sel, NL, NU, fft_size: int, sr: int):
 
 
 def _trace_peak(spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1.0,
-                adaptation_mode="Linear", fixed_band=False, half_after=0):
+                adaptation_mode="None", fixed_band=False, half_after=0):
     g = _Grid(spectrum, fft_size, hop, sr, tolerance_st)
     frame_0, frame_1, times, freqs = g.sample_trail(trail)
+    if not fixed_band and adaptation_mode in ("Constant", "Linear", "Average"):
+        out = _trace_peak_adaptive(spectrum[:, frame_0:frame_1], freqs[0], g,
+                                   adaptation_mode)
+        interp_nans(out)
+        return times, out
     if fixed_band:
         # 'Peak Track': the band comes from the first drawn frequency, with the
         # tolerance halved after the first 3 frames (wow_detection.py:311-327)
@@ -136,19 +140,108 @@ def _trace_peak(spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1.0,
     return times, out
 
 
+@functools.partial(jax.jit, static_argnames=("mode", "fft_size", "sr"))
+def _adaptive_peak_scan(spec_frames, carry0, tolerance_st, mode: str,
+                        fft_size: int, sr: int):
+    """Sequential adapt_band prediction + peak pick as a ``lax.scan``.
+
+    ``spec_frames``: (T, num_bins) magnitude frames.  ``carry0``: the last 4
+    traced log2 frequencies (l[i-3..i] in reference indexing).  Each step
+    predicts the next band via adapt_band's mode formulas (with adapt_band's
+    own clamps and >5-bin triangular emphasis window, wow_detection.py:
+    142-187), picks the strongest emphasized bin, refines parabolically on
+    the raw magnitudes, and shifts the history.
+    """
+    num_bins = spec_frames.shape[-1]
+    bins = jnp.arange(num_bins, dtype=jnp.float32)
+    freq_2_bin = fft_size / sr
+
+    def step(hist, frame):
+        l1, l2, l3, l4 = hist
+        if mode == "Constant":
+            logfreq = l4
+        elif mode == "Linear":
+            logfreq = l4 + (l4 - l2)
+        else:  # Average
+            logfreq = l1 + (l4 - l1) / 3.0 * 4.0
+        fL = jnp.power(2.0, logfreq - tolerance_st / 12.0)
+        fU = jnp.power(2.0, logfreq + tolerance_st / 12.0)
+        NL = jnp.clip(jnp.round(fL * freq_2_bin).astype(jnp.int32), 1, num_bins - 3)
+        NU = jnp.clip(jnp.round(fU * freq_2_bin).astype(jnp.int32), 1, num_bins - 2)
+        # triangular emphasis window peaked at the predicted frequency
+        pb = jnp.power(2.0, logfreq) * freq_2_bin
+        nlf, nuf = NL.astype(jnp.float32), NU.astype(jnp.float32)
+        up = (bins - nlf) / jnp.maximum(pb - nlf, 1e-6)
+        down = (nuf - 1.0 - bins) / jnp.maximum(nuf - 1.0 - pb, 1e-6)
+        tri = jnp.clip(jnp.minimum(up, down), 0.0, 1.0)
+        window = jnp.where(NU - NL > 5, tri, 1.0)
+        mask = (bins >= nlf) & (bins < nuf)
+        scores = jnp.where(mask, frame * window, -jnp.inf)
+        peak = jnp.argmax(scores, axis=-1)
+        p = jnp.clip(peak, 1, num_bins - 2)
+        fm1, f0, fp1 = frame[p - 1], frame[p], frame[p + 1]
+        denom = jnp.where(fm1 - 2 * f0 + fp1 == 0, 1e-12, fm1 - 2 * f0 + fp1)
+        refined = p.astype(jnp.float32) + 0.5 * (fm1 - fp1) / denom
+        is_peak = (fm1 < f0) & (f0 > fp1) & (peak == p)
+        peak_bin = jnp.where(is_peak, refined, peak.astype(jnp.float32))
+        freq = peak_bin / fft_size * sr
+        lf = jnp.log2(jnp.maximum(freq, 1e-12))
+        return (l2, l3, l4, lf), freq
+
+    _, freqs = jax.lax.scan(step, carry0, spec_frames)
+    return freqs
+
+
+def _trace_peak_adaptive(spec_sel, seed_freq, g, mode):
+    """adapt_band-driven tracking: first 4 frames sequentially on the host
+    (exact reference early-history slicing), then the device scan."""
+    T = spec_sel.shape[1]
+    freq_2_bin = g.fft_size / g.sr
+    freqs = [float(seed_freq)]
+    warm = min(4, T)
+    out = np.empty(T, dtype=np.float32)
+    for t in range(warm):
+        i = len(freqs) - 1
+        NL, NU, window, _ = adapt_band(freqs, g.num_bins, freq_2_bin,
+                                       g.tolerance * 12, mode, i)
+        frame = np.asarray(spec_sel[:, t])
+        if NU <= NL:
+            out[t] = freqs[-1]
+            freqs.append(freqs[-1])
+            continue
+        scores = frame[NL:NU] * window
+        peak = int(np.argmax(scores)) + NL
+        p = min(max(peak, 1), g.num_bins - 2)
+        fm1, f0, fp1 = frame[p - 1], frame[p], frame[p + 1]
+        denom = fm1 - 2 * f0 + fp1 or 1e-12
+        refined = p + 0.5 * (fm1 - fp1) / denom
+        is_peak = (fm1 < f0) and (f0 > fp1) and (peak == p)
+        peak_bin = refined if is_peak else float(peak)
+        out[t] = peak_bin / g.fft_size * g.sr
+        freqs.append(float(out[t]))
+    if T > warm:
+        hist = np.log2(np.maximum(freqs[-4:], 1e-12)).astype(np.float32)
+        carry0 = tuple(jnp.asarray(v) for v in hist)
+        rest = jnp.asarray(spec_sel[:, warm:]).T
+        out[warm:] = np.asarray(_adaptive_peak_scan(
+            rest, carry0, np.float32(g.tolerance * 12), mode, g.fft_size, g.sr))
+    return out
+
+
 def trace_peak(spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1.0,
-               adaptation_mode="Linear"):
-    return _trace_peak(spectrum, signal, trail, fft_size, hop, sr, tolerance_st)
+               adaptation_mode="None"):
+    return _trace_peak(spectrum, signal, trail, fft_size, hop, sr, tolerance_st,
+                       adaptation_mode=adaptation_mode)
 
 
 def trace_peak_track(spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1.0,
-                     adaptation_mode="Linear"):
+                     adaptation_mode="None"):
     return _trace_peak(spectrum, signal, trail, fft_size, hop, sr, tolerance_st,
                        fixed_band=True)
 
 
 def trace_freehand(spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1.0,
-                   adaptation_mode="Linear"):
+                   adaptation_mode="None"):
     """Use the drawn trail verbatim (wow_detection.py:390-394)."""
     g = _Grid(spectrum, fft_size, hop, sr, tolerance_st)
     _, _, times, freqs = g.sample_trail(trail)
@@ -188,7 +281,7 @@ def _cog_scan(spec_sel, log2_fft_freqs, NL0, NU0, tolerance, fft_size: int, sr: 
 
 
 def trace_cog(spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1.0,
-              adaptation_mode="Linear"):
+              adaptation_mode="None"):
     g = _Grid(spectrum, fft_size, hop, sr, tolerance_st)
     frame_0, frame_1, times, freqs = g.sample_trail(trail)
     NL, NU = _band_limits_np(freqs[:1], g.tolerance, g.fft_size, g.sr, g.num_bins)
@@ -210,7 +303,7 @@ def zero_crossings(a):
 
 
 def trace_zero_crossing(spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1.0,
-                        adaptation_mode="Linear"):
+                        adaptation_mode="None"):
     """Zero-crossing distance pitch tracking (wow_detection.py:330-358)."""
     g = _Grid(spectrum, fft_size, hop, sr, tolerance_st)
     _, _, times, freqs = g.sample_trail(trail)
@@ -251,7 +344,7 @@ def _correlation_changes(spec_band, log_lo, log_hi, num_freq_samples: int):
 
 
 def trace_correlation(spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1.0,
-                      adaptation_mode="Linear"):
+                      adaptation_mode="None"):
     """Spectral-flow speed tracking (wow_detection.py:396-436).
 
     The reference resamples each frame with a quadratic spline in a Python
@@ -328,7 +421,7 @@ def _local_peaks_device(frames, threshold_frac):
 
 
 def trace_partials(spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1.0,
-                   adaptation_mode="Linear", threshold=0.15):
+                   adaptation_mode="None", threshold=0.15):
     """Partial tracking diagnostic (wow_detection.py:361-387 uses librosa
     piptrack and only plots).  Returns per-frame (pitches_hz, magnitudes)
     arrays of all local peaks inside the trail band — device-vectorized."""
@@ -344,11 +437,85 @@ def trace_partials(spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1.0,
     return times, pitches, np.asarray(mags)
 
 
+def _sine_varpro_seed(tt, yy, w0):
+    """Variable-projection seeding: for each candidate omega the model is
+    LINEAR in (A sin, A cos, c), so the subproblem solves exactly; the best
+    candidate on a log grid around the FFT seed starts LM inside the right
+    basin (plain LM from a coarse phase seed can jump basins)."""
+    best = None
+    for w in np.geomspace(0.5, 2.0, 121) * w0:
+        M = np.stack([np.sin(w * tt), np.cos(w * tt), np.ones_like(tt)], axis=1)
+        coef, *_ = np.linalg.lstsq(M, yy, rcond=None)
+        r = M @ coef - yy
+        rss = float(r @ r)
+        if best is None or rss < best[0]:
+            best = (rss, w, coef)
+    _, w, (a, b, c) = best
+    A = float(np.hypot(a, b))
+    p = float(np.arctan2(b, a))
+    return np.array([A, w, p, c])
+
+
+def _sine_lm(tt, yy, guess, max_iter=100):
+    """Levenberg-Marquardt refinement of ``A sin(w t + p) + c`` (float64).
+
+    First-party replacement for scipy ``curve_fit`` (SURVEY §7 step 3): a
+    variable-projection omega sweep picks the basin, then damped 4x4 normal
+    equations converge it; covariance follows curve_fit's convention
+    ``inv(J'J) * rss/(n-4)``.
+    """
+    A, w, p, c = _sine_varpro_seed(tt, yy, float(guess[1]))
+
+    def resid(A, w, p, c):
+        return A * np.sin(w * tt + p) + c - yy
+
+    r = resid(A, w, p, c)
+    cost = float(r @ r)
+    lam = 1e-3
+    H = np.eye(4)
+    for _ in range(max_iter):
+        s = np.sin(w * tt + p)
+        co = np.cos(w * tt + p)
+        J = np.stack([s, A * tt * co, A * co, np.ones_like(tt)], axis=1)
+        g = J.T @ r
+        H = J.T @ J
+        step_ok = False
+        for _ in range(50):
+            D = np.diag(np.maximum(np.diag(H), 1e-12))
+            try:
+                dp = np.linalg.solve(H + lam * D, -g)
+            except np.linalg.LinAlgError:
+                lam *= 10.0
+                continue
+            cand = (A + dp[0], w + dp[1], p + dp[2], c + dp[3])
+            r2 = resid(*cand)
+            cost2 = float(r2 @ r2)
+            if cost2 <= cost:
+                A, w, p, c = cand
+                r, cost = r2, cost2
+                lam = max(lam * 0.3, 1e-14)
+                step_ok = True
+                break
+            lam *= 10.0
+            if lam > 1e14:
+                break
+        if not step_ok or np.linalg.norm(dp) < 1e-14 * (1.0 + abs(A) + abs(w)):
+            break
+    popt = np.array([A, w, p, c])
+    dof = max(len(tt) - 4, 1)
+    try:
+        pcov = np.linalg.inv(H) * cost / dof
+    except np.linalg.LinAlgError:
+        pcov = np.full((4, 4), np.inf)
+    return popt, pcov
+
+
 def fit_sin(tt, yy, assumed_freq=None):
     """FFT-seeded sine regression (wow_detection.py:190-228).
 
     Returns a dict with amp/omega/phase/offset/freq/period.  The nonlinear
-    refinement runs as float64 least squares on the host (4 parameters)."""
+    refinement is a first-party float64 Levenberg-Marquardt on the host
+    (4 parameters, frame-rate sized data)."""
     tt = np.asarray(tt, float)
     yy = np.asarray(yy, float)
     ff = np.fft.rfftfreq(len(tt), (tt[1] - tt[0]))
@@ -366,10 +533,7 @@ def fit_sin(tt, yy, assumed_freq=None):
     guess_phase = np.angle(fft_data[peak_bin])
     guess = np.array([guess_amp, 2.0 * np.pi * guess_freq, guess_phase, guess_offset])
 
-    def sinfunc(t, A, w, p, c):
-        return A * np.sin(w * t + p) + c
-
-    popt, pcov = scipy.optimize.curve_fit(sinfunc, tt, yy, p0=guess)
+    popt, pcov = _sine_lm(tt, yy, guess)
     A, w, p, c = popt
     f = w / (2.0 * np.pi)
     return {"amp": A, "omega": w, "phase": p, "offset": c, "freq": f,
@@ -407,7 +571,7 @@ wow_detectors = {
 
 
 def trace(mode, spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1.0,
-          adaptation_mode="Linear"):
+          adaptation_mode="None"):
     """Dispatch by tracker name (registry mirror of wow_detection.py:453-456)."""
     return wow_detectors[mode](spectrum, signal, trail, fft_size, hop, sr,
                                tolerance_st, adaptation_mode)

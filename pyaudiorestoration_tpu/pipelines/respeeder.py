@@ -32,7 +32,7 @@ def compute_spectrum(signal, sr, fft_size=1024, fft_overlap=4, zeropad=1, channe
 
 
 def trace_trail(signal, sr, trail, mode="Peak", fft_size=1024, fft_overlap=4,
-                zeropad=1, tolerance=1.0, adapt="Linear", channel=0,
+                zeropad=1, tolerance=1.0, adapt="None", channel=0,
                 other_lines=(), auto_align=False, spectrum=None):
     """Run a tracker over a drawn trail -> TraceLine (pyrespeeder_gui.py:165-200)."""
     hop = fft_size // fft_overlap
@@ -98,7 +98,7 @@ def run_project(project_path, audio_path=None, out_suffix=""):
 
 def restore_file(audio_path, mode="Peak", fft_size=1024, fft_overlap=4, zeropad=1,
                  tolerance=1.0, trail=None, resampling_mode="Sinc", sinc_quality=50,
-                 suffix="", bands=DEFAULT_BANDS, save_project=False):
+                 suffix="", bands=DEFAULT_BANDS, save_project=False, adapt="None"):
     """One-shot wow/flutter fix: trace the strongest tone and resample.
 
     If no trail is given, seed the tracker with the loudest stable frequency
@@ -114,7 +114,7 @@ def restore_file(audio_path, mode="Peak", fft_size=1024, fft_overlap=4, zeropad=
         trail = [(0.0, f0), (duration, f0)]
         logging.info(f"Auto trail at {f0:.1f} Hz")
     line = trace_trail(signal, sr, trail, mode, fft_size, fft_overlap, zeropad,
-                       tolerance, spectrum=spectrum)
+                       tolerance, adapt=adapt, spectrum=spectrum)
     if save_project:
         # GUI Save parity: markers + visible settings (widgets.py:1224-1234)
         proj = project.Project(".spd", {
