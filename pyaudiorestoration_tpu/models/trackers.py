@@ -248,6 +248,36 @@ def trace_freehand(spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1.0,
     return times, freqs
 
 
+def cog_step_core(frame, NL, NU, log2_fft_freqs, tolerance, fft_size: int, sr: int):
+    """One center-of-gravity step: masked-hann COG of ``frame`` within
+    [NL, NU) plus the next band (freq_plus_tolerance + set_bin_limits with
+    clamping and min-bin widening, wow_detection.py:256-291).
+
+    Broadcast-friendly: ``frame`` is (..., F) and ``NL``/``NU`` are (...,)
+    int32, so the same core drives the single-recording scan here and the
+    cross-shard batched scan in parallel/sharded.py.
+    """
+    num_bins = frame.shape[-1]
+    bins = jnp.arange(num_bins, dtype=jnp.float32)
+    NLf = NL[..., None].astype(jnp.float32)
+    NUf = NU[..., None].astype(jnp.float32)
+    w = jnp.maximum(NUf - NLf, 1.0)
+    k = bins - NLf
+    hann = 0.5 - 0.5 * jnp.cos(2 * jnp.pi * k / jnp.maximum(w - 1.0, 1.0))
+    mask = (bins >= NLf) & (bins < NUf)
+    wm = jnp.where(mask, hann * frame, 0.0)
+    cog_log2 = jnp.sum(wm * log2_fft_freqs, axis=-1) / jnp.maximum(
+        jnp.sum(wm, axis=-1), 1e-20)
+    cog = jnp.power(2.0, cog_log2)
+    fL = jnp.clip(jnp.power(2.0, cog_log2 - tolerance), 1.0, None)
+    fU = jnp.minimum(jnp.power(2.0, cog_log2 + tolerance), sr / 2)
+    nl = jnp.clip(jnp.round(fL * fft_size / sr).astype(jnp.int32), 1, num_bins - 1)
+    nu = jnp.clip(jnp.round(fU * fft_size / sr).astype(jnp.int32), 1, num_bins - 1)
+    width = nu - nl
+    iters = jnp.where(width < MIN_BINS, (MIN_BINS - width + 1) // 2, 0)
+    return nl - iters, nu + iters, cog
+
+
 @functools.partial(jax.jit, static_argnames=("fft_size", "sr", "n_steps"))
 def _cog_scan(spec_sel, log2_fft_freqs, NL0, NU0, tolerance, fft_size: int, sr: int,
               n_steps: int):
@@ -255,26 +285,12 @@ def _cog_scan(spec_sel, log2_fft_freqs, NL0, NU0, tolerance, fft_size: int, sr: 
 
     Bands are realized as masked continuous-hann windows over the full
     spectrum so every scan step has static shapes."""
-    num_bins = spec_sel.shape[0]
-    bins = jnp.arange(num_bins, dtype=jnp.float32)
 
     def step(carry, frame):
         NL, NU = carry
-        w = jnp.maximum((NU - NL).astype(jnp.float32), 1.0)
-        k = bins - NL.astype(jnp.float32)
-        hann = 0.5 - 0.5 * jnp.cos(2 * jnp.pi * k / jnp.maximum(w - 1.0, 1.0))
-        mask = (bins >= NL) & (bins < NU)
-        wm = jnp.where(mask, hann * frame, 0.0)
-        cog_log2 = jnp.sum(wm * log2_fft_freqs) / jnp.maximum(jnp.sum(wm), 1e-20)
-        cog = jnp.power(2.0, cog_log2)
-        # next band: freq_plus_tolerance + set_bin_limits (clamped, widened)
-        fL = jnp.clip(jnp.power(2.0, cog_log2 - tolerance), 1.0, None)
-        fU = jnp.minimum(jnp.power(2.0, cog_log2 + tolerance), sr / 2)
-        nl = jnp.clip(jnp.round(fL * fft_size / sr).astype(jnp.int32), 1, num_bins - 1)
-        nu = jnp.clip(jnp.round(fU * fft_size / sr).astype(jnp.int32), 1, num_bins - 1)
-        width = nu - nl
-        iters = jnp.where(width < MIN_BINS, (MIN_BINS - width + 1) // 2, 0)
-        return (nl - iters, nu + iters), cog
+        nl, nu, cog = cog_step_core(frame, NL, NU, log2_fft_freqs, tolerance,
+                                    fft_size, sr)
+        return (nl, nu), cog
 
     _, cogs = jax.lax.scan(step, (NL0, NU0), spec_sel.T[:n_steps])
     return cogs

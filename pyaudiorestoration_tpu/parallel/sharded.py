@@ -31,7 +31,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.fourier import get_window
 
-__all__ = ["stft_sharded", "istft_sharded", "restore_step", "halo_exchange_right"]
+__all__ = ["stft_sharded", "istft_sharded", "restore_step", "halo_exchange_right",
+           "hpss_sharded", "cog_sharded"]
 
 
 def _left_ppermute(x, axis_name, n_shards):
@@ -193,12 +194,79 @@ def hpss_sharded(mesh: Mesh, spec_mag, kernel_size: int = 31, power: float = 2.0
     )(spec_mag)
 
 
-def _masked_peak_local(spec_local, f0_bin, tol_bins):
-    """Frame-parallel masked peak tracking (device part of the Peak tracker)."""
+def cog_sharded(mesh: Mesh, spec_mag, NL0, NU0, tolerance, fft_size: int, sr: int):
+    """Time-sharded Center-of-Gravity tracking with cross-shard band handoff.
+
+    The CoG tracker is sequential — frame t+1's band depends on frame t's
+    result (wow_detection.py:256-291) — so the time shards form a dependency
+    chain.  Each shard runs its local ``lax.scan`` exactly once, on its turn,
+    starting from the (NL, NU) carry its left neighbor computed; the carry
+    rides a right-directed ``ppermute`` each turn (SURVEY §7 step 7's
+    "per-shard scans with boundary-state handoff").  Wall-clock stays
+    sequential (inherent to the recurrence) but compute and memory are
+    distributed, and the result is bit-identical to the dense scan.
+
+    spec_mag: (files, F, T) magnitudes sharded (files, None, time);
+    NL0/NU0: (files,) int32 initial band per file.  Returns (files, T) cogs.
+    """
+    from ..models.trackers import cog_step_core
+
+    n_time = mesh.shape["time"]
+    from ..ops.fourier import fft_freqs
+
+    with np.errstate(divide="ignore"):
+        lff = jnp.asarray(np.log2(np.maximum(
+            fft_freqs(fft_size, sr), 1e-12)).astype(np.float32))
+
+    def local_scan(sb, nl, nu):  # sb (B, F, T_local); nl/nu (B,) int32
+        def step(carry, frame):  # frame (B, F)
+            cnl, cnu = carry
+            nl2, nu2, cog = cog_step_core(frame, cnl, cnu, lff, tolerance,
+                                          fft_size, sr)
+            return (nl2, nu2), cog
+
+        (nl, nu), cogs = jax.lax.scan(step, (nl, nu), jnp.moveaxis(sb, -1, 0))
+        return nl, nu, jnp.moveaxis(cogs, 0, -1)  # (B, T_local)
+
+    def fn(sb, nl0, nu0):
+        idx = jax.lax.axis_index("time")
+        out0 = jnp.zeros((sb.shape[0], sb.shape[-1]), jnp.float32)
+
+        def body(s, state):
+            carry_nl, carry_nu, out = state
+            my_turn = idx == s
+            nl2, nu2, cogs = jax.lax.cond(
+                my_turn,
+                lambda args: local_scan(sb, *args),
+                lambda args: (args[0], args[1], jnp.zeros_like(out)),
+                (carry_nl, carry_nu))
+            out = jnp.where(my_turn, cogs, out)
+            # hand the carry to the right neighbor for its turn
+            nl_recv = _right_ppermute(nl2, "time", n_time)
+            nu_recv = _right_ppermute(nu2, "time", n_time)
+            return nl_recv, nu_recv, out
+
+        _, _, out = jax.lax.fori_loop(0, n_time, body, (nl0, nu0, out0))
+        return out
+
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P("files", None, "time"), P("files"), P("files")),
+        out_specs=P("files", "time"),
+        check_vma=False,
+    )(spec_mag, NL0, NU0)
+
+
+def _masked_peak_local(spec_local, nl, nu):
+    """Frame-parallel masked peak tracking (device part of the Peak tracker).
+
+    ``nl``/``nu``: per-frame int32 band limits (T_local,) — fixed-f0 callers
+    pass constant arrays, trail-driven tracking passes the trail's bands
+    (matching pipelines/respeeder_device.track_speed_device)."""
     num_bins = spec_local.shape[-2]
     bins = jnp.arange(num_bins)
     frames = jnp.swapaxes(spec_local, -1, -2)  # (..., T, F)
-    mask = (bins >= f0_bin - tol_bins) & (bins <= f0_bin + tol_bins)
+    mask = (bins[None, :] >= nl[:, None]) & (bins[None, :] < nu[:, None])
     scores = jnp.where(mask, frames, -jnp.inf)
     peak = jnp.argmax(scores, axis=-1)
     p = jnp.clip(peak, 1, num_bins - 2)
@@ -211,12 +279,17 @@ def _masked_peak_local(spec_local, f0_bin, tol_bins):
 
 def restore_step(mesh: Mesh, x, f0_hz: float, sr: int, n_fft: int = 512,
                  step: int = 128, tolerance_st: float = 2.0, drift_halo: int = 256,
-                 interp: str = "linear", nt: int = 8):
+                 interp: str = "linear", nt: int = 8, band=None):
     """Full sharded wow/flutter restoration step — the flagship pipeline.
 
     (files, time) batch -> sharded STFT -> frame-parallel peak tracking ->
     global speed normalization (psum over time) -> fixed-length varispeed
     linear resample with a bounded drift halo -> restored (files, time).
+
+    ``band``: optional per-frame int32 band arrays (NL, NU) of global length
+    ``total // step`` — trail-driven tracking (the multi-chip analogue of
+    track_speed_device's NL/NU inputs).  When omitted the band is the fixed
+    ``f0_hz +- tolerance_st`` window.
 
     This is the multichip "training step" the dry-run compiles: it exercises
     STFT halos (ppermute), collectives (psum), and cross-shard gathers.
@@ -228,14 +301,21 @@ def restore_step(mesh: Mesh, x, f0_hz: float, sr: int, n_fft: int = 512,
     halo = n_fft - step
     window = jnp.asarray(get_window("hann", n_fft))
     n_frames_local = local // step
-    f0_bin = int(round(f0_hz * n_fft / sr))
-    tol_bins = max(2, int(round(f0_bin * (2 ** (tolerance_st / 12) - 1))))
+    n_frames_total = total // step
+    if band is None:
+        f0_bin = int(round(f0_hz * n_fft / sr))
+        tol_bins = max(2, int(round(f0_bin * (2 ** (tolerance_st / 12) - 1))))
+        NL = np.full(n_frames_total, f0_bin - tol_bins, np.int32)
+        NU = np.full(n_frames_total, f0_bin + tol_bins + 1, np.int32)
+    else:
+        NL, NU = (np.asarray(b, np.int32) for b in band)
+        assert NL.shape == NU.shape == (n_frames_total,)
 
-    def fn(xb):
+    def fn(xb, nl, nu):
         ext = halo_exchange_right(xb, halo, "time", n_time)
         spec = _stft_local(ext, n_fft, step, window, 1, n_frames_local)
         mag = jnp.abs(spec)
-        peak_bins = _masked_peak_local(mag, f0_bin, tol_bins)  # (B, T_local)
+        peak_bins = _masked_peak_local(mag, nl, nu)  # (B, T_local)
         log_speed = jnp.log2(jnp.maximum(peak_bins, 1.0))
         # center the speed curve globally: mean over ALL time shards (psum)
         local_sum = jnp.sum(log_speed, axis=-1, keepdims=True)
@@ -285,7 +365,7 @@ def restore_step(mesh: Mesh, x, f0_hz: float, sr: int, n_fft: int = 512,
 
     return shard_map(
         fn, mesh=mesh,
-        in_specs=P("files", "time"),
+        in_specs=(P("files", "time"), P("time"), P("time")),
         out_specs=P("files", "time"),
         check_vma=False,
-    )(x)
+    )(x, jnp.asarray(NL), jnp.asarray(NU))
