@@ -21,6 +21,7 @@ TPU-first design notes
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -140,28 +141,42 @@ def window_sumsquare(window_name, n_frames, hop_length=512, win_length=None, n_f
 def _overlap_add(ytmp, hop: int, out_len: int):
     """Overlap-add windowed frames ``ytmp`` of shape (n_frames, n_fft).
 
-    Fast path: hop divides n_fft -> express as ratio static shifted adds.
+    Frame starts all lie on the g = gcd(n_fft, hop) grid, so the overlap-add
+    is ``n_fft//g`` static shifted adds over (…, g) blocks — a pure
+    reshape/pad/sum dataflow with NO baked index constants for ANY hop
+    (dividing hops reduce to g = hop, the round-1 fast path).  Only when the
+    shift count would explode (g tiny vs n_fft) does a sequential
+    dynamic-slice loop take over — still constant-free.
     """
     n_frames, n_fft = ytmp.shape
-    if n_fft % hop == 0:
-        ratio = n_fft // hop
-        # blocks[j, t] is the j-th hop-chunk of frame t
-        blocks = ytmp.reshape(n_frames, ratio, hop)
-        # Output block b (b-th hop span) = sum_j blocks[b - j, j]. Shift frame
-        # axis by j for each chunk index j and add.
-        n_blocks = out_len // hop + (1 if out_len % hop else 0)
-        acc = jnp.zeros((n_blocks, hop), dtype=ytmp.dtype)
+    g = math.gcd(n_fft, hop)
+    ratio = n_fft // g   # chunks per frame
+    hb = hop // g        # blocks advanced per frame
+    if ratio <= 64:
+        blocks = ytmp.reshape(n_frames, ratio, g)
+        n_blocks = max(-(-out_len // g), (n_frames - 1) * hb + ratio)
+        acc = jnp.zeros((n_blocks, g), dtype=ytmp.dtype)
         for j in range(ratio):
-            src = blocks[:, j, :]  # (n_frames, hop), frame t writes block t+j
-            pad_lo = j
-            pad_hi = max(0, n_blocks - n_frames - j)
-            shifted = jnp.pad(src, ((pad_lo, pad_hi), (0, 0)))[:n_blocks]
-            acc = acc + shifted
+            src = blocks[:, j, :]  # (n_frames, g): frame t writes block t*hb + j
+            if hb > 1:  # spread frames onto the hb-strided block grid
+                src = jnp.concatenate(
+                    [src[:, None, :],
+                     jnp.zeros((n_frames, hb - 1, g), ytmp.dtype)],
+                    axis=1).reshape(n_frames * hb, g)
+            pad_hi = max(0, n_blocks - src.shape[0] - j)
+            acc = acc + jnp.pad(src, ((j, pad_hi), (0, 0)))[:n_blocks]
         return acc.reshape(-1)[:out_len]
-    # Generic scatter-add fallback.
-    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
-    y = jnp.zeros(out_len, dtype=ytmp.dtype)
-    return y.at[idx.reshape(-1)].add(ytmp.reshape(-1), mode="drop")
+    # Sequential fallback for pathological gcds: dynamic-slice accumulate
+    # (no O(n_frames * n_fft) index constant, unlike a scatter-add).
+    total = (n_frames - 1) * hop + n_fft
+
+    def body(t, y):
+        seg = jax.lax.dynamic_slice(y, (t * hop,), (n_fft,))
+        frame = jax.lax.dynamic_index_in_dim(ytmp, t, axis=0, keepdims=False)
+        return jax.lax.dynamic_update_slice(y, seg + frame, (t * hop,))
+
+    y = jax.lax.fori_loop(0, n_frames, body, jnp.zeros(total, dtype=ytmp.dtype))
+    return fix_length(y, out_len)
 
 
 @functools.partial(jax.jit, static_argnames=("hop_length", "win_length", "window_name", "center", "length", "n_frames", "zeropad"))

@@ -14,6 +14,7 @@ from __future__ import annotations
 import itertools
 import logging
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.signal
@@ -143,19 +144,29 @@ def process_heuristic(file_path, fft_size=1024, fft_overlap=4, max_width=0.02,
     signal, sr, num_channels = audio_io.read_file(file_path)
     bands = np.logspace(np.log2(f_lower), np.log2(f_upper), num=num_bands,
                         endpoint=True, base=2, dtype=np.uint16)
+    band_pairs = list(reversed(list(_pairwise(bands))))
     d = int(max_width / 1.5 * sr / hop)
+    n = len(signal)
+
+    # spectrograms for ALL channels in one device call; dB download once
+    imdata_all = units.to_dB(np.asarray(
+        fourier.get_mag(signal.T, fft_size, hop, "hann")))  # (C, bins, T)
+    T = imdata_all.shape[-1]
+
+    # host control plane (frame-rate sized): valley peaks + slope gate +
+    # the sequential bottom_freedom clip chain per channel
+    fac_all = np.empty((num_channels, len(band_pairs), T))
     for channel in range(num_channels):
-        imdata = np.asarray(fourier.get_mag(signal[:, channel], fft_size, hop, "hann"))
-        imdata = units.to_dB(imdata)
-        correction_fac = np.ones(imdata.shape[1]) * 1000
-        for f_lower_band, f_upper_band in reversed(list(_pairwise(bands))):
+        imdata = imdata_all[channel]
+        correction_fac = np.ones(T) * 1000
+        for b, (f_lower_band, f_upper_band) in enumerate(band_pairs):
             bin_lower = int(f_lower_band * fft_size / sr)
             bin_upper = int(f_upper_band * fft_size / sr)
             vol = np.mean(imdata[bin_lower:bin_upper], axis=0)
             peaks, _ = scipy.signal.find_peaks(-vol, prominence=5, rel_height=0.5)
-            gain_curve = np.zeros(imdata.shape[1])
+            gain_curve = np.zeros(T)
             for peak_i in peaks:
-                if 2 * d < peak_i < imdata.shape[1] - 2 * d - 1:
+                if 2 * d < peak_i < T - 2 * d - 1:
                     left = np.mean(vol[peak_i - 2 * d:peak_i - d])
                     right = np.mean(vol[peak_i + d:peak_i + 2 * d])
                     m = (left - right) / (2 * d)
@@ -165,12 +176,21 @@ def process_heuristic(file_path, fft_size=1024, fft_overlap=4, max_width=0.02,
                         ) - vol[peak_i - d:peak_i + d + 1]
             correction_fac = np.clip(units.to_fac(gain_curve), 1,
                                      correction_fac * bottom_freedom)
-            vol_corr = signal[:, channel] * np.interp(
-                np.linspace(0, 1, len(signal[:, channel])),
-                np.linspace(0, 1, len(correction_fac)), correction_fac - 1)
-            signal[:, channel] = signal[:, channel] + np.asarray(
-                filters.butter_bandpass_filter(vol_corr, f_lower_band, f_upper_band,
-                                               sr, order=3))
+            fac_all[channel, b] = correction_fac
+
+    # device cascade: every band's envelope multiply + zero-phase band-pass +
+    # accumulate stays on device for all channels; ONE host sync at the end
+    # (round 1 synced per band per channel, dropouts_gui.py:241-323's shape)
+    sig_dev = jnp.asarray(signal.T)  # (C, n)
+    fac_dev = jnp.asarray((fac_all - 1.0).astype(np.float32))
+    x_new = jnp.linspace(0.0, 1.0, n)
+    x_old = jnp.linspace(0.0, 1.0, T)
+    for b, (f_lower_band, f_upper_band) in enumerate(band_pairs):
+        w = jax.vmap(lambda row: jnp.interp(x_new, x_old, row))(fac_dev[:, b])
+        vol_corr = sig_dev * w
+        sig_dev = sig_dev + filters.butter_bandpass_filter(
+            vol_corr, f_lower_band, f_upper_band, sr, order=3)
+    signal = np.asarray(sig_dev).T
     return audio_io.write_file(file_path, signal, sr, num_channels, suffix=suffix or "_out")
 
 

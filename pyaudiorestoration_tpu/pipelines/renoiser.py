@@ -115,18 +115,50 @@ def process_file(file_path, noise_path=None, selection=None, control_curve=(),
                                suffix if suffix is not None else f" fft={fft_size}")
 
 
+@functools.partial(jax.jit, static_argnames=("fft_size", "lo", "hi", "n_pos", "chunk"))
+def _band_gain_positions(xp, fft_size: int, lo: int, hi: int, n_pos: int,
+                         chunk: int):
+    """Band-mean |FFT| of the frame starting at EVERY sample position — a
+    step=1 banded STFT, tiled so HBM holds one (chunk, fft) frame block.
+    Frame indices come from runtime iotas (no baked index constants)."""
+    window = jnp.asarray(fourier.get_window("blackmanharris", fft_size))
+    n_chunks = -(-n_pos // chunk)
+    xp2 = jnp.pad(xp, (0, max(0, n_chunks * chunk + fft_size - xp.shape[0])))
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (chunk, fft_size), 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (chunk, fft_size), 1)
+
+    def one(c):
+        xs = jax.lax.dynamic_slice(xp2, (c * chunk,), (chunk + fft_size,))
+        fr = xs[i0 + i1] * window
+        spec = jnp.fft.rfft(fr, axis=-1) / np.sqrt(fft_size)
+        return jnp.mean(jnp.abs(spec[:, lo:hi]), axis=-1)
+
+    g = jax.lax.map(one, jnp.arange(n_chunks))
+    return g.reshape(-1)[:n_pos]
+
+
 def sniff_offset(signal, sr, fft_size=1024, fft_overlap=4, f_lo=3000, f_hi=12000):
     """Find the hop phase maximizing band-energy variance
-    (renoiser_gui.py:347-380). Returns the optimal pad offset."""
+    (renoiser_gui.py:347-380). Returns the optimal pad offset.
+
+    All ``hop`` phases sweep in ONE device call: the step=1 banded STFT
+    yields the gain at every sample position, and phase i's frame set is
+    every hop-th position starting at -i — the same total FLOPs as the
+    reference's sequential hop loop of full STFTs, in a single launch.
+    (Boundary frames use zero context instead of the loop's per-offset
+    reflect pad; the phase ranking is interior-dominated.)
+    """
     hop = fft_size // fft_overlap
-    sig = signal[:, 0] if signal.ndim == 2 else signal
-    l = int(round(f_lo * fft_size / sr))
-    u = int(round(f_hi * fft_size / sr))
-    stds = np.empty(hop)
-    for i in range(hop):
-        padded = np.pad(sig, (i, 0))
-        padded = np.asarray(fourier.fix_length(padded, len(sig) + i + fft_size // 2))
-        fft_signal = np.asarray(fourier.stft(padded, n_fft=fft_size, step=hop))
-        time_gain = np.average(np.abs(fft_signal[l:u, :]), axis=0)
-        stds[i] = time_gain.std()
-    return int(np.argmax(stds))
+    sig = np.asarray(signal[:, 0] if signal.ndim == 2 else signal, np.float32)
+    lo = int(round(f_lo * fft_size / sr))
+    hi = int(round(f_hi * fft_size / sr))
+    n = len(sig)
+    T = (n + fft_size // 2) // hop + 1
+    n_pos = T * hop
+    # frame at signal position q starts at xp[q + hop - 1] covering
+    # [q - fft//2, q + fft//2); front zeros serve every phase shift
+    xp = np.pad(sig, (hop - 1 + fft_size // 2, fft_size))
+    g = _band_gain_positions(jnp.asarray(xp), fft_size, lo, hi, n_pos, 4096)
+    stds_by_col = jnp.std(g.reshape(T, hop), axis=0)
+    # phase i reads column hop-1-i
+    return int(jnp.argmax(stds_by_col[::-1]))

@@ -114,10 +114,8 @@ def azimuth_sweep(ref_signal, src_signal, sr, t0, t1, lower, upper, lag_data,
                      for x in sample_times])
     srcs = np.stack([get_signal_around(src_signal, sr, x - d, dur)[:n_win]
                      for x, d in zip(sample_times, sample_lags)])
-    refs = np.stack([np.asarray(filters.butter_bandpass_filter(r, lower, upper, sr, order=3,
-                                                               backend="host")) for r in refs])
-    srcs = np.stack([np.asarray(filters.butter_bandpass_filter(s, lower, upper, sr, order=3,
-                                                               backend="host")) for s in srcs])
+    refs = _dsp_bandpass_rows(refs, lower, upper, sr)
+    srcs = _dsp_bandpass_rows(srcs, lower, upper, sr)
     delays, corrs = correlation.find_delay_batch(refs, srcs, ignore_phase=ignore_phase,
                                                  window_name="hann")
     lags = sample_lags + np.asarray(delays) / sr
@@ -157,10 +155,25 @@ def estimate_speed_ratio(ref_signal, src_signal, sr, fft_size=16384, f_lo=50.0, 
     return float(2.0 ** (-shift_log2))
 
 
+def _fixed_window(signal, sr, t_start, length, channel=0):
+    """Zero-padded fixed-length slice starting at ``t_start`` seconds."""
+    sig = signal[:, channel] if signal.ndim == 2 else signal
+    s0 = int(round(t_start * sr))
+    s1 = s0 + length
+    pad_l = max(0, -s0)
+    pad_r = max(0, s1 - len(sig))
+    piece = sig[max(0, s0):min(len(sig), s1)]
+    return np.pad(piece, (pad_l, pad_r))
+
+
 def auto_align(ref_signal, src_signal, sr, num_windows=8, window_s=1.0,
                lower=100.0, upper=None, hop=64, smoothing=3, match_speed=True):
     """Headless end-to-end alignment: estimate the global speed offset, then
     window-correlate along the overlap to build the lag curve.
+
+    All ``num_windows`` window pairs stack into ONE speed-resample, ONE
+    batched band-pass, and ONE ``find_delay_batch`` device call (round 1
+    correlated them one at a time, pytapesynch_gui.py:108-133's loop shape).
 
     Returns (lag_samples, lag_curve_data) where the curve is (n, 2) time/lag
     seconds on the reference timeline.
@@ -170,23 +183,42 @@ def auto_align(ref_signal, src_signal, sr, num_windows=8, window_s=1.0,
     logging.info(f"Source speed ratio estimate: {ratio:.5f}")
     dur_ref = len(ref_signal) / sr
     centers = np.linspace(window_s, dur_ref - window_s, num_windows)
-    # initial lag guess: src time = ref time / ... lag(t) = t - t*ratio ... with
-    # src ~ ref resampled by ratio: src position of ref time t is t/ratio.
+    # initial lag guess: src ~ ref resampled by ratio, so the source position
+    # of ref time t is t/ratio and lag(t) = t - t/ratio
     lag_guess = centers - centers / ratio
-    samples = []
-    for t, d0 in zip(centers, lag_guess):
-        try:
-            delay, corr = correlate_sources(
-                ref_signal, src_signal, sr, t - window_s, t + window_s, d0,
-                lower, upper, window_name="hann", speed=ratio)
-            samples.append(mk.LagSample((t - window_s, lower), (t + window_s, upper),
-                                        d0 + delay, corr))
-        except Exception:
-            logging.exception(f"auto_align window at {t:.2f}s failed")
-    marker_sr = sr / hop
+    L = int(round(2 * window_s * sr))
+    refs = np.stack([_fixed_window(ref_signal, sr, t - window_s, L)
+                     for t in centers])
+    if ratio != 1.0:
+        Ls = int(round(2 * window_s / ratio * sr))
+        srcs = np.stack([
+            _fixed_window(src_signal, sr, t - d0 - window_s / ratio, Ls)
+            for t, d0 in zip(centers, lag_guess)])
+        # identical positions for every window -> one vmapped resample
+        srcs = resampling.resample_ratio(srcs.T, sr / ratio, sr, quality=8).T
+    else:
+        srcs = np.stack([_fixed_window(src_signal, sr, t - d0 - window_s, L)
+                         for t, d0 in zip(centers, lag_guess)])
+    n = min(refs.shape[1], srcs.shape[1])
+    a = _dsp_bandpass_rows(refs[:, :n], lower, upper, sr)
+    b = _dsp_bandpass_rows(srcs[:, :n], lower, upper, sr)
+    delays, corrs = correlation.find_delay_batch(a, b, window_name="hann")
+    time_delays = np.asarray(delays) / sr * ratio
+    corrs = np.asarray(corrs)
+    samples = [
+        mk.LagSample((t - window_s, lower), (t + window_s, upper),
+                     d0 + float(td), float(c))
+        for t, d0, td, c in zip(centers, lag_guess, time_delays, corrs)]
     lag_line = mk.LagLine(sr, hop, dur_ref, smoothing=smoothing)
     data = lag_line.update(samples)
     return samples, data
+
+
+def _dsp_bandpass_rows(rows, lower, upper, sr):
+    """Band-pass a (batch, n) stack along the last axis (scipy float64,
+    exact reference parity, one call for the whole batch)."""
+    return np.asarray(filters.butter_bandpass_filter(
+        rows, lower, upper, sr, order=3, backend="host"))
 
 
 def align_files(ref_path, src_path, out_suffix="", num_windows=8, window_s=1.0,
