@@ -82,6 +82,9 @@ def build_parser():
     sp.add_argument("--suffix", default="")
     sp.add_argument("--save-project", action="store_true",
                     help="write lag markers to <source>.tapesync (GUI Save parity)")
+    sp.add_argument("--compare", metavar="PNG",
+                    help="write a red/green overlay of reference vs aligned "
+                         "output (the GUI's 2-source compare view)")
 
     sp = sub.add_parser("heal", help="dropout healing (dropout_healer)")
     sp.add_argument("input")
@@ -139,6 +142,9 @@ def build_parser():
                     help="noise span inside the input")
     sp.add_argument("--gain", type=float, default=-40.0)
     sp.add_argument("--overhead", type=float, default=0.0)
+    sp.add_argument("--preview", metavar="PNG",
+                    help="write a before/after masked-spectrogram image via "
+                         "the re-mask-only fast path (no audio output)")
     _add_fft_args(sp, 1024, 4)
 
     sp = sub.add_parser("hpss", help="harmonic/percussive separation")
@@ -209,8 +215,20 @@ def _dispatch(args):
             window_s=args.window_s, lower=args.lower, upper=args.upper,
             smoothing=args.smoothing, sinc_quality=args.sinc_quality,
             save_project=args.save_project)
-        print(json.dumps({"outputs": paths,
-                          "lags": [s.to_cfg() for s in samples]}))
+        out = {"outputs": paths, "lags": [s.to_cfg() for s in samples]}
+        if args.compare:
+            import numpy as np
+            from .models import viz
+            from .ops import fourier
+            from .utils import audio_io
+            ref_sig, sr, _ = audio_io.read_file(ref)
+            out_sig, _, _ = audio_io.read_file(paths[0])
+            fft, hop = 1024, 256
+            mag_a = np.asarray(fourier.get_mag(ref_sig[:, 0], fft, hop))
+            mag_b = np.asarray(fourier.get_mag(out_sig[:, 0], fft, hop))
+            out["compare"] = viz.save_comparison(args.compare, mag_a, mag_b,
+                                                 sr, hop)
+        print(json.dumps(out))
     elif args.cmd == "heal":
         from .pipelines import dropouts
         from .utils import audio_io, project
@@ -280,12 +298,39 @@ def _dispatch(args):
         print(json.dumps({"outputs": [out]}))
     elif args.cmd == "renoise":
         from .pipelines import renoiser
-        out = renoiser.process_file(
-            args.input, noise_path=args.noise,
-            selection=tuple(args.selection) if args.selection else None,
-            gain=args.gain, overhead=args.overhead, fft_size=args.fft_size,
-            fft_overlap=args.fft_overlap)
-        print(json.dumps({"outputs": [out]}))
+        if args.preview:
+            import matplotlib
+            matplotlib.use("Agg", force=False)
+            import matplotlib.pyplot as plt
+
+            from .models import viz
+            from .utils import audio_io
+            signal, sr, _ = audio_io.read_file(args.input)
+            pv = renoiser.RenoisePreview(signal, sr, args.fft_size,
+                                         args.fft_overlap)
+            if args.noise:
+                profile = renoiser.noise_profile_from_file(
+                    args.noise, sr, args.fft_size, args.fft_overlap)
+            elif args.selection:
+                profile = pv.noise_profile_from_selection(*args.selection)
+            else:
+                raise ValueError("preview needs --noise or --selection")
+            masked = pv.remask(profile, args.gain, overhead=args.overhead)
+            fig, axes = plt.subplots(2, 1, figsize=(12, 9))
+            viz.plot_spectrogram(pv.magnitude(), sr, pv.hop, ax=axes[0])
+            axes[0].set_title("original")
+            viz.plot_spectrogram(masked, sr, pv.hop, ax=axes[1])
+            axes[1].set_title(f"masked (gain {args.gain} dB)")
+            fig.savefig(args.preview, dpi=120, bbox_inches="tight")
+            plt.close(fig)
+            print(json.dumps({"preview": args.preview}))
+        else:
+            out = renoiser.process_file(
+                args.input, noise_path=args.noise,
+                selection=tuple(args.selection) if args.selection else None,
+                gain=args.gain, overhead=args.overhead, fft_size=args.fft_size,
+                fft_overlap=args.fft_overlap)
+            print(json.dumps({"outputs": [out]}))
     elif args.cmd == "hpss":
         from .pipelines import hpss_tool
         outs = []

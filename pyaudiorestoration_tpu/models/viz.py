@@ -9,11 +9,33 @@ markers.py) are reproduced as figure-producing functions for notebooks/CLI.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..ops import units
 
-__all__ = ["plot_spectrogram", "plot_speed_curves", "save_spectrogram"]
+__all__ = ["plot_spectrogram", "plot_speed_curves", "save_spectrogram",
+           "compare_spectrograms", "save_comparison", "get_cmap"]
+
+_IZO_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "izo_cmap.npy")
+
+
+def get_cmap(name):
+    """Resolve a colormap name; registers the reference's custom "izo" table
+    (colormaps.py:1047-1306, shipped as a 256x3 data asset) on first use."""
+    if name != "izo":
+        return name
+    import matplotlib
+
+    try:
+        return matplotlib.colormaps["izo"]
+    except KeyError:
+        from matplotlib.colors import ListedColormap
+
+        cmap = ListedColormap(np.load(_IZO_PATH), name="izo")
+        matplotlib.colormaps.register(cmap)
+        return cmap
 
 
 def _mel_extent(sr):
@@ -47,7 +69,7 @@ def plot_spectrogram(mag, sr, hop, ax=None, vmin=-120, vmax=0, cmap="magma",
         extent = (0, duration, 0, sr / 2)
         ax.set_ylabel("Hz")
     ax.imshow(img, aspect="auto", origin="lower", extent=extent, vmin=vmin,
-              vmax=vmax, cmap=cmap, interpolation="nearest")
+              vmax=vmax, cmap=get_cmap(cmap), interpolation="nearest")
     ax.set_xlabel("time (s)")
     y = (lambda f: units.to_mel(np.maximum(f, 1.0))) if mel else (lambda f: f)
     for m in markers:
@@ -66,6 +88,68 @@ def plot_spectrogram(mag, sr, hop, ax=None, vmin=-120, vmax=0, cmap="magma",
                 (t0, y(np.array(f0))), t1 - t0, y(np.array(f1)) - y(np.array(f0)),
                 fill=False, edgecolor=(1, 1, 1, 0.6)))
     return ax
+
+
+def _db_norm(mag, vmin, vmax):
+    db = units.to_dB(np.asarray(mag) + 1e-10)
+    return np.clip((db - vmin) / (vmax - vmin), 0.0, 1.0)
+
+
+def _mel_rows(img, sr):
+    n_bins = img.shape[0]
+    freqs = np.arange(n_bins) / (2 * (n_bins - 1)) * sr
+    mel_grid = np.linspace(units.to_mel(freqs[1]), units.to_mel(freqs[-1]), n_bins)
+    hz_grid = units.to_Hz(mel_grid)
+    rows = np.clip((hz_grid / (sr / 2) * (n_bins - 1)).astype(int), 0, n_bins - 1)
+    return img[rows], mel_grid
+
+
+def compare_spectrograms(mag_a, mag_b, sr, hop, offset_b=0.0, ax=None,
+                         vmin=-120, vmax=0, mel=True):
+    """Additive red/green 2-source overlay — the tapesynch workflow's main
+    visual alignment check (spectrum.py:15-31's FlatRed/FlatGreen additive
+    textures): source A renders into the red channel, source B (shifted by
+    ``offset_b`` seconds, the LagSample.d readout) into green; aligned
+    content fuses to yellow, misaligned content fringes red/green.
+    """
+    import matplotlib.pyplot as plt
+
+    ax = ax or plt.gca()
+    a = _db_norm(mag_a, vmin, vmax)
+    b = _db_norm(mag_b, vmin, vmax)
+    off_frames = int(round(offset_b * sr / hop))
+    n_bins = max(a.shape[0], b.shape[0])
+    n_frames = max(a.shape[1], b.shape[1] + max(0, off_frames)) - min(0, off_frames)
+    rgb = np.zeros((n_bins, n_frames, 3), np.float32)
+    a0 = max(0, -off_frames)
+    rgb[: a.shape[0], a0: a0 + a.shape[1], 0] = a
+    b0 = max(0, off_frames)
+    rgb[: b.shape[0], b0: b0 + b.shape[1], 1] = b
+    duration = n_frames * hop / sr
+    t0 = -a0 * hop / sr
+    if mel:
+        rgb, mel_grid = _mel_rows(rgb, sr)
+        extent = (t0, t0 + duration, mel_grid[0], mel_grid[-1])
+        ax.set_ylabel("mel")
+    else:
+        extent = (t0, t0 + duration, 0, sr / 2)
+        ax.set_ylabel("Hz")
+    ax.imshow(rgb, aspect="auto", origin="lower", extent=extent,
+              interpolation="nearest")
+    ax.set_xlabel("time (s)")
+    return ax
+
+
+def save_comparison(path, mag_a, mag_b, sr, hop, **kwargs):
+    import matplotlib
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(12, 6))
+    compare_spectrograms(mag_a, mag_b, sr, hop, ax=ax, **kwargs)
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
 
 
 def plot_speed_curves(curves, labels=None, ax=None):

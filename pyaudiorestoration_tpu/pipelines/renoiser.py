@@ -21,8 +21,56 @@ from ..utils import audio_io
 
 __all__ = [
     "noise_profile_from_file", "noise_profile_from_selection", "final_profile",
-    "get_mask_fac", "process", "process_file", "sniff_offset",
+    "get_mask_fac", "process", "process_file", "sniff_offset", "RenoisePreview",
 ]
+
+
+class RenoisePreview:
+    """Re-mask-only fast path for parameter sweeps (renoiser_gui.py:253-271).
+
+    The GUI's live preview re-applies the gain mask to the CACHED spectrogram
+    when gain/control/overhead change, never recomputing the STFT.  Here the
+    complex spectrogram stays resident on device; ``remask`` is one fused
+    threshold+scale and returns the masked magnitude (the preview image), and
+    ``render`` inverts to audio only when asked.
+    """
+
+    def __init__(self, signal, sr, fft_size=1024, fft_overlap=4, channel=0):
+        self.sr = sr
+        self.fft_size = fft_size
+        self.hop = fft_size // fft_overlap
+        n = len(signal)
+        self._n = n
+        x = signal[:, channel] if signal.ndim == 2 else signal
+        padded = np.asarray(fourier.fix_length(x, n + fft_size // 2))
+        self._spec = fourier.stft(padded, n_fft=fft_size, step=self.hop)
+        self._mag = jnp.abs(self._spec) + 1e-7  # device-resident
+        self.freqs = fourier.fft_freqs(fft_size, sr)
+
+    def magnitude(self):
+        """The cached unmasked magnitude (host copy)."""
+        return np.asarray(self._mag)
+
+    def noise_profile_from_selection(self, t0, t1):
+        f0 = max(0, int(t0 * self.sr / self.hop))
+        f1 = min(self._mag.shape[1] - 1, int(t1 * self.sr / self.hop))
+        return units.to_dB(np.asarray(jnp.mean(self._mag[:, f0:f1], axis=1)))
+
+    def remask(self, profile, gain, control_curve=(), overhead=0.0):
+        """Masked magnitude for the current parameters — ONE device op, no
+        STFT recompute.  Returns (num_bins, num_frames) float32 (host)."""
+        prof = final_profile(profile, self.freqs, control_curve, 0.0, overhead)
+        fac = _mask_fac(20.0 * jnp.log10(self._mag),
+                        jnp.asarray(prof, jnp.float32), float(gain))
+        return np.asarray(self._mag * fac)
+
+    def render(self, profile, gain, control_curve=(), overhead=0.0):
+        """Masked iSTFT audio for the chosen parameters (single channel)."""
+        prof = final_profile(profile, self.freqs, control_curve, 0.0, overhead)
+        fac = _mask_fac(20.0 * jnp.log10(self._mag),
+                        jnp.asarray(prof, jnp.float32), float(gain))
+        return np.asarray(fourier.istft(self._spec * fac, length=self._n,
+                                        hop_length=self.hop))
 
 
 def noise_profile_from_file(noise_path, sr, fft_size=1024, fft_overlap=4, zeropad=1):

@@ -1,0 +1,108 @@
+"""Headless compare affordances (VERDICT round 1, Missing #4 / Next #9-10):
+2-source red/green overlay, renoiser re-mask fast path, izo colormap.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pyaudiorestoration_tpu.models import viz
+from pyaudiorestoration_tpu.ops import fourier
+from pyaudiorestoration_tpu.pipelines import renoiser
+from pyaudiorestoration_tpu.utils import audio_io
+
+SR = 8000
+
+
+def _tone(f0, seconds=1.0, amp=0.5):
+    t = np.arange(int(SR * seconds)) / SR
+    return (amp * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+
+
+def test_izo_colormap_loads():
+    cmap = viz.get_cmap("izo")
+    assert cmap.N == 256
+    rgba = cmap(np.linspace(0, 1, 5))
+    assert rgba.shape == (5, 4)
+    assert np.all((rgba >= 0) & (rgba <= 1))
+    # idempotent re-registration
+    assert viz.get_cmap("izo").name == "izo"
+    assert viz.get_cmap("magma") == "magma"
+
+
+def test_compare_spectrograms_offset_fuses_channels(tmp_path):
+    sig = _tone(1000.0, 1.0)
+    mag = np.asarray(fourier.get_mag(sig, 512, 128))
+    off_s = 0.25
+    off_frames = int(round(off_s * SR / 128))
+    path = str(tmp_path / "cmp.png")
+    viz.save_comparison(path, mag, mag, SR, 128, offset_b=-off_s, mel=False)
+    assert os.path.getsize(path) > 0
+
+    import matplotlib
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    viz.compare_spectrograms(mag, mag, SR, 128, offset_b=-off_s, mel=False, ax=ax)
+    rgb = ax.images[0].get_array()
+    plt.close(fig)
+    # B shifted left by off_frames: in the overlap region red==green (yellow)
+    red, green = rgb[..., 0], rgb[..., 1]
+    overlap = slice(off_frames, mag.shape[1] - off_frames)
+    np.testing.assert_allclose(red[:, off_frames:mag.shape[1]],
+                               green[:, :mag.shape[1] - off_frames], atol=1e-6)
+    # and outside the overlap only one channel is lit
+    assert green[:, mag.shape[1] - off_frames:].max() > 0.3
+
+
+def test_renoise_preview_remask_matches_process():
+    rng = np.random.default_rng(2)
+    sig = _tone(1000.0, 1.0) + 0.01 * rng.standard_normal(SR).astype(np.float32)
+    pv = renoiser.RenoisePreview(sig, SR, 512, 4)
+    profile = pv.noise_profile_from_selection(0.0, 1.0) - 20.0
+    masked = pv.remask(profile, gain=-40.0)
+    assert masked.shape == pv.magnitude().shape
+    # remask must equal the full pipeline's mask arithmetic
+    fac = np.asarray(renoiser.get_mask_fac(pv.magnitude(), profile, -40.0))
+    np.testing.assert_allclose(masked, pv.magnitude() * fac, rtol=1e-5)
+    # render path inverts to audio of the original length
+    audio = pv.render(profile, gain=-40.0)
+    assert audio.shape == (len(sig),)
+    assert np.all(np.isfinite(audio))
+
+
+def test_renoise_preview_is_remask_only(monkeypatch):
+    """Parameter sweeps must not recompute the STFT (renoiser_gui.py:253-271)."""
+    sig = _tone(800.0, 0.5)
+    pv = renoiser.RenoisePreview(sig, SR, 512, 4)
+    profile = pv.noise_profile_from_selection(0.0, 0.5)
+    calls = {"n": 0}
+    real = fourier.stft
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(fourier, "stft", spy)
+    for gain in (-10.0, -20.0, -30.0):
+        pv.remask(profile, gain)
+    assert calls["n"] == 0
+
+
+def test_cli_renoise_preview_and_tapesync_compare(tmp_path, capsys):
+    from pyaudiorestoration_tpu import cli
+
+    wav = str(tmp_path / "n.wav")
+    rng = np.random.default_rng(4)
+    sig = _tone(1200.0, 1.0) + 0.02 * rng.standard_normal(SR).astype(np.float32)
+    audio_io.write_wav(wav, sig, SR)
+    png = str(tmp_path / "prev.png")
+    rc = cli.main(["renoise", wav, "--selection", "0.0", "1.0",
+                   "--gain", "-30", "--preview", png,
+                   "--fft-size", "512", "--fft-overlap", "4"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["preview"] == png and os.path.getsize(png) > 0
