@@ -25,32 +25,63 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["sinc_banded_pallas"]
 
 
-def _kernel(buf_ref, bs_ref, rel_ref, mask_ref, out_ref, *, nt, drift, max_n):
+def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=16):
+    """Shared shift-MAC loop for both Pallas kernels, with the per-pass
+    sin/cos evaluations replaced by plane-rotation recurrences.
+
+    The profiler (docs/BENCHMARKS.md, round 2) shows this loop is VPU-
+    transcendental-bound: every pass evaluated ``sin`` for the sinc and
+    ``cos`` for the hann taper.  But per lane the sinc argument advances by
+    exactly ``fc`` each pass and the hann phase by ``pi/nt``, so both are
+    rotations: s' = s*cos(d) + c*sin(d), c' = c*cos(d) - s*sin(d).  Exact
+    values re-seed every ``refresh`` passes, capping fp32 drift at ~2e-6 —
+    far inside the kernel's 1e-5 parity envelope.  Near x = 0 the quotient
+    sin(pi x)/(pi x) amplifies that drift, so |x| < 0.25 uses the Taylor
+    series instead (max series error 4e-7 at the switch point).
+    """
     U = nt + drift
-    buf = buf_ref[...]          # (tile, L)
-    bs = bs_ref[...]            # (tile, max_n)
-    rel = rel_ref[...]          # (tile, max_n) local positions incl. base_frac
-    in_seg = mask_ref[...]      # (tile, max_n) 1.0 where k < n
     k = jax.lax.broadcasted_iota(jnp.int32, bs.shape, dimension=1).astype(jnp.float32)
     ind_local = jnp.round(rel)
     shift = rel - ind_local
     fc = jnp.minimum(bs, 1.0)
     m = ind_local - k           # bounded by drift
+    pif = np.float32(np.pi)
+    sf = jnp.sin(pif * fc)
+    cf = jnp.cos(pif * fc)
+    shd = np.float32(np.sin(np.pi / nt))
+    chd = np.float32(np.cos(np.pi / nt))
+    L = buf.shape[1]
 
     acc = jnp.zeros(bs.shape, jnp.float32)
+    s = c = hs = hc = None
     # static unrolled shift loop: Mosaic lowers static rolls to lane shifts
     for v in range(2 * U):
         jf = (float(v) - U) - m
-        valid = (jf >= -nt) & (jf < nt)
         x = (jf - shift) * fc
-        hann = 0.5 - 0.5 * jnp.cos(np.pi * (jf + nt) / nt)
-        w = jnp.where(valid, jnp.sinc(x) * fc * hann, 0.0) * in_seg
+        if v % refresh == 0:  # exact re-seed
+            s = jnp.sin(pif * x)
+            c = jnp.cos(pif * x)
+            th = (pif / nt) * (jf + float(nt))
+            hs = jnp.sin(th)
+            hc = jnp.cos(th)
+        valid = (jf >= -nt) & (jf < nt)
+        px2 = (pif * x) * (pif * x)
+        series = 1.0 - px2 / 6.0 * (1.0 - px2 / 20.0 * (1.0 - px2 / 42.0))
+        sinc = jnp.where(jnp.abs(x) < 0.25, series, s / (pif * x))
+        hann = 0.5 - 0.5 * hc
+        w = jnp.where(valid, sinc * fc * hann, 0.0) * in_seg
         # left-roll by v == right-roll by L - v (pltpu.roll wants shift >= 0);
         # the used region [:max_n] never touches the circular wrap
-        L = buf.shape[1]
         seg = (buf if v == 0 else pltpu.roll(buf, L - v, axis=1))[:, :max_n]
         acc = acc + seg * w
-    out_ref[...] = acc
+        s, c = s * cf + c * sf, c * cf - s * sf
+        hc, hs = hc * chd - hs * shd, hs * chd + hc * shd
+    return acc
+
+
+def _kernel(buf_ref, bs_ref, rel_ref, mask_ref, out_ref, *, nt, drift, max_n):
+    out_ref[...] = _shift_mac(buf_ref[...], bs_ref[...], rel_ref[...],
+                              mask_ref[...], nt=nt, drift=drift, max_n=max_n)
 
 
 def _kernel_dma(starts_ref, sig_ref, bs_ref, rel_ref, mask_ref, offs_ref,
@@ -86,24 +117,8 @@ def _kernel_dma(starts_ref, sig_ref, bs_ref, rel_ref, mask_ref, offs_ref,
         rolled = pltpu.roll(buf, L_pad - amount, axis=1)
         buf = take * rolled + (1.0 - take) * buf
 
-    bs = bs_ref[...]
-    rel = rel_ref[...]
-    in_seg = mask_ref[...]
-    k = jax.lax.broadcasted_iota(jnp.int32, bs.shape, dimension=1).astype(jnp.float32)
-    ind_local = jnp.round(rel)
-    shift = rel - ind_local
-    fc = jnp.minimum(bs, 1.0)
-    m = ind_local - k
-    acc = jnp.zeros(bs.shape, jnp.float32)
-    for v in range(2 * U):
-        jf = (float(v) - U) - m
-        valid = (jf >= -nt) & (jf < nt)
-        x = (jf - shift) * fc
-        hann = 0.5 - 0.5 * jnp.cos(np.pi * (jf + nt) / nt)
-        w = jnp.where(valid, jnp.sinc(x) * fc * hann, 0.0) * in_seg
-        seg = (buf if v == 0 else pltpu.roll(buf, L_pad - v, axis=1))[:, :max_n]
-        acc = acc + seg * w
-    out_ref[...] = acc
+    out_ref[...] = _shift_mac(buf, bs_ref[...], rel_ref[...], mask_ref[...],
+                              nt=nt, drift=drift, max_n=max_n)
 
 
 @functools.partial(jax.jit, static_argnames=("max_n", "nt", "drift", "tile",
