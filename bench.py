@@ -68,7 +68,8 @@ def main():
 
     def run():
         padded = rdev.restore_fused_device(sig_dev, NLs, NUs, fft_size, hop, zp,
-                                           max_n, q, 16, backend=backend)
+                                           max_n, q, 16, backend=backend,
+                                           band=(NL - 1, NU + 1))
         # a dependent scalar fetch forces execution (block_until_ready is a
         # no-op through this environment's device relay)
         return float(jnp.sum(padded))

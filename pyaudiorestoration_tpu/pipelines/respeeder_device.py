@@ -38,18 +38,36 @@ __all__ = ["track_speed_device", "track_peaks_span", "plan_positions",
            "restore_file_fast", "restore_file_streamed"]
 
 
+@functools.lru_cache(maxsize=16)
+def _banded_dft_matrix(n_fft: int, zeropad: int, lo: int, hi: int) -> np.ndarray:
+    """(n_fft, 2*(hi-lo)) real DFT matrix computing rFFT bins [lo, hi) of the
+    zero-padded transform — cos columns then sin columns, pre-scaled by the
+    reference's 1/sqrt(n_fft) norm."""
+    ang = -2.0 * np.pi * np.outer(np.arange(n_fft), np.arange(lo, hi)) / (n_fft * zeropad)
+    scale = 1.0 / np.sqrt(n_fft)
+    return np.concatenate([np.cos(ang), np.sin(ang)], axis=1).astype(np.float32) * scale
+
+
 @functools.partial(jax.jit, static_argnames=("n_frames", "n_fft", "step",
                                               "zeropad", "window_name",
-                                              "chunk_frames"))
+                                              "chunk_frames", "band"))
 def track_peaks_span(xp, NL, NU, n_frames: int, n_fft: int, step: int,
                      zeropad: int = 1, window_name: str = "blackmanharris",
-                     chunk_frames: int = 4096):
+                     chunk_frames: int = 4096, band=None):
     """Banded peak tracking over an already-padded span of samples.
 
     ``xp`` holds the samples frame 0 starts on (any centering/reflect padding
     already applied); frame t covers ``xp[t*step : t*step+n_fft]``.  Returns
     the refined (parabolic) peak bin per frame — the frame-parallel core of
     the Peak tracker (wow_detection.py:294-304 + 119-134).
+
+    ``band``: optional STATIC (lo, hi) bin bounds covering every per-frame
+    [NL, NU) window plus one parabolic-neighbor margin.  When given, the
+    full rFFT is replaced by a banded real-DFT **matmul** — the spectrum is
+    only ever inspected inside the band, so the frames x (n_fft, 2(hi-lo))
+    product computes exactly the needed bins and runs on the MXU instead of
+    the VPU FFT (the profiler showed the tracking FFT at 38% of the fused
+    step after the sinc kernel was fixed, docs/BENCHMARKS.md round 2).
 
     The STFT streams through ``lax.map`` tiles of ``chunk_frames`` frames so
     HBM usage stays bounded for arbitrarily long recordings (the FFT temps of
@@ -63,10 +81,17 @@ def track_peaks_span(xp, NL, NU, n_frames: int, n_fft: int, step: int,
     xp2 = jnp.pad(xp.astype(jnp.float32),
                   (0, max(0, n_chunks * chunk_frames * step + span - xp.shape[0])))
     pad_t = n_chunks * chunk_frames - n_frames
-    NLp = jnp.pad(NL, (0, pad_t), constant_values=1)
-    NUp = jnp.pad(NU, (0, pad_t), constant_values=2)
     num_bins = n_fft * zeropad // 2 + 1
-    bins = jnp.arange(num_bins)
+    if band is not None:
+        lo = max(0, int(band[0]))
+        hi = min(num_bins, int(band[1]))
+        dft = jnp.asarray(_banded_dft_matrix(n_fft, zeropad, lo, hi))
+        nb = hi - lo
+    else:
+        lo, nb = 0, num_bins
+    NLp = jnp.pad(NL, (0, pad_t), constant_values=lo + 1)
+    NUp = jnp.pad(NU, (0, pad_t), constant_values=lo + 2)
+    bins = jnp.arange(lo, lo + nb)
 
     def one_chunk(args):
         c, nl, nu = args
@@ -74,19 +99,23 @@ def track_peaks_span(xp, NL, NU, n_frames: int, n_fft: int, step: int,
         blocks = xs.reshape(-1, step)
         frames = jnp.concatenate(
             [blocks[j:j + chunk_frames] for j in range(ratio)], axis=1) * window
-        spec = jnp.fft.rfft(frames, n=n_fft * zeropad, axis=-1) / np.sqrt(n_fft)
-        mag = jnp.abs(spec) + 1e-7  # (chunk, F)
+        if band is not None:
+            ri = jnp.dot(frames, dft, precision=jax.lax.Precision.HIGHEST)
+            mag = jnp.sqrt(ri[:, :nb] ** 2 + ri[:, nb:] ** 2) + 1e-7
+        else:
+            spec = jnp.fft.rfft(frames, n=n_fft * zeropad, axis=-1) / np.sqrt(n_fft)
+            mag = jnp.abs(spec) + 1e-7  # (chunk, F)
         mask = (bins[None, :] >= nl[:, None]) & (bins[None, :] < nu[:, None])
         scores = jnp.where(mask, mag, -jnp.inf)
-        peak = jnp.argmax(scores, axis=-1)
-        p = jnp.clip(peak, 1, num_bins - 2)
+        peak = jnp.argmax(scores, axis=-1)  # band-local
+        p = jnp.clip(peak, 1, nb - 2)
         fm1 = jnp.take_along_axis(mag, (p - 1)[:, None], -1)[:, 0]
         f0 = jnp.take_along_axis(mag, p[:, None], -1)[:, 0]
         fp1 = jnp.take_along_axis(mag, (p + 1)[:, None], -1)[:, 0]
         denom = jnp.where(fm1 - 2 * f0 + fp1 == 0, 1e-12, fm1 - 2 * f0 + fp1)
         xv = 0.5 * (fm1 - fp1) / denom + p
         is_peak = (fm1 < f0) & (f0 > fp1) & (peak == p)
-        return jnp.where(is_peak, xv, peak.astype(xv.dtype))
+        return jnp.where(is_peak, xv, peak.astype(xv.dtype)) + float(lo)
 
     refined = jax.lax.map(one_chunk, (
         jnp.arange(n_chunks),
@@ -96,20 +125,23 @@ def track_peaks_span(xp, NL, NU, n_frames: int, n_fft: int, step: int,
 
 
 @functools.partial(jax.jit, static_argnames=("n_fft", "step", "zeropad",
-                                              "window_name", "chunk_frames"))
+                                              "window_name", "chunk_frames",
+                                              "band"))
 def track_speed_device(x, NL, NU, n_fft: int, step: int, zeropad: int = 1,
                        window_name: str = "blackmanharris",
-                       chunk_frames: int = 4096):
+                       chunk_frames: int = 4096, band=None):
     """STFT + banded peak tracking + speed normalization, all on device.
 
     x: (n,) waveform.  NL/NU: per-frame band limits (int32 device arrays).
+    ``band``: optional static (lo, hi) bound on all NL/NU values — enables
+    the MXU banded-DFT fast path (see track_peaks_span).
     Returns speeds (T,) centered on ~1.0 (the Peak tracker + TraceLine
     normalization, wow_detection.py:294-304 + markers.py:190-192).
     """
     xp = jnp.pad(x.astype(jnp.float32), n_fft // 2, mode="reflect")
     n_frames = (xp.shape[0] - n_fft) // step + 1
     refined = track_peaks_span(xp, NL, NU, n_frames, n_fft, step, zeropad,
-                               window_name, chunk_frames)
+                               window_name, chunk_frames, band)
     return normalize_speeds(refined)
 
 
@@ -406,11 +438,12 @@ def _sinc_backend(backend: str):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_fft", "step", "zeropad", "max_n", "nt", "drift", "window_name", "backend"))
+    "n_fft", "step", "zeropad", "max_n", "nt", "drift", "window_name",
+    "backend", "band"))
 def restore_fused_device(x, NL, NU, n_fft: int, step: int, zeropad: int,
                          max_n: int, nt: int = 50, drift: int = 64,
                          window_name: str = "blackmanharris",
-                         backend: str = "xla"):
+                         backend: str = "xla", band=None):
     """Single-jit end-to-end restoration: STFT -> peak track -> speed curve ->
     dithered position plan -> banded sinc, with ZERO mid-pipeline host
     round-trips.
@@ -427,7 +460,8 @@ def restore_fused_device(x, NL, NU, n_fft: int, step: int, zeropad: int,
     (the reference's export contract, resampling.py:211-231).
     """
     mono = x[0] if x.ndim == 2 else x
-    speeds = track_speed_device(mono, NL, NU, n_fft, step, zeropad, window_name)
+    speeds = track_speed_device(mono, NL, NU, n_fft, step, zeropad, window_name,
+                                band=band)
     s_lo, s_hi = speeds[:-1], speeds[1:]
     n_raw = step * (s_lo + s_hi) / 2.0
 
@@ -545,7 +579,7 @@ def restore_file_streamed(audio_path, f0_hz=None, tolerance_st: float = 1.0,
             blk = np.pad(blk, (0, span_need - len(blk)))
             refined = np.asarray(track_peaks_span(
                 jnp.asarray(blk), NLs, NUs, frames_per_block, fft_size, hop,
-                zeropad))
+                zeropad, band=(NL - 1, NU + 1)))
             refined_parts.append(refined[: t1 - t0])
         speeds = np.asarray(normalize_speeds(
             jnp.asarray(np.concatenate(refined_parts))))
@@ -635,7 +669,8 @@ def restore_file_fast(audio_path, f0_hz=None, tolerance_st: float = 1.0,
     NLs = jnp.full((n_frames,), NL, jnp.int32)
     NUs = jnp.full((n_frames,), NU, jnp.int32)
     speeds = np.asarray(track_speed_device(jnp.asarray(x), NLs, NUs, fft_size,
-                                           hop, zeropad))
+                                           hop, zeropad,
+                                           band=(NL - 1, NU + 1)))
     plan = plan_positions_fast(speeds, hop, n)
     drift = 8
     while drift < plan["drift"]:
@@ -665,7 +700,8 @@ def restore_device(sig_dev, sr: int, f0_hz: float, tolerance_st: float = 1.0,
     NL, NU = _band_limits(f0_hz, tolerance_st, fft_size, zeropad, sr)
     NLs = jnp.full((n_frames,), NL, jnp.int32)
     NUs = jnp.full((n_frames,), NU, jnp.int32)
-    speeds = track_speed_device(sig_dev, NLs, NUs, fft_size, hop, zeropad)
+    speeds = track_speed_device(sig_dev, NLs, NUs, fft_size, hop, zeropad,
+                                band=(NL - 1, NU + 1))
     speeds_np = np.asarray(speeds)  # ~T floats, the only mid-pipe download
     plan = plan_positions_fast(speeds_np, hop, n)
     # bucket the drift bound so jit caches stay warm across takes

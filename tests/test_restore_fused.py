@@ -63,3 +63,28 @@ def test_fused_matches_hybrid():
     err = np.abs(flat_f[100:mm] - flat_h[100:mm])
     assert np.median(err) < 1e-4
     assert (err > 1e-2).mean() < 0.01  # only isolated dither-boundary samples
+
+
+def test_banded_dft_matches_full_fft_tracking():
+    """The MXU banded-DFT tracking path must agree with the full-FFT path."""
+    import jax.numpy as jnp
+
+    from pyaudiorestoration_tpu.pipelines import respeeder_device as rdev
+
+    sr = 16000
+    n = 4 * sr
+    t = np.arange(n) / sr
+    speed = 1.0 + 0.015 * np.sin(2 * np.pi * 1.7 * t)
+    x = np.sin(2 * np.pi * 1000 * np.cumsum(speed) / sr).astype(np.float32)
+    fft_size, hop, zp = 2048, 256, 2
+    f0_bin = int(round(1000 * fft_size * zp / sr))
+    NLv, NUv = f0_bin - 12, f0_bin + 13
+    n_frames = (n + (fft_size // 2) * 2 - fft_size) // hop + 1
+    NLs = jnp.full((n_frames,), NLv, jnp.int32)
+    NUs = jnp.full((n_frames,), NUv, jnp.int32)
+    full = np.asarray(rdev.track_speed_device(jnp.asarray(x), NLs, NUs,
+                                              fft_size, hop, zp))
+    banded = np.asarray(rdev.track_speed_device(jnp.asarray(x), NLs, NUs,
+                                                fft_size, hop, zp,
+                                                band=(NLv - 1, NUv + 1)))
+    np.testing.assert_allclose(banded, full, atol=2e-5)
