@@ -16,7 +16,8 @@ import numpy as np
 from ..ops import units
 
 __all__ = ["plot_spectrogram", "plot_speed_curves", "save_spectrogram",
-           "compare_spectrograms", "save_comparison", "get_cmap"]
+           "compare_spectrograms", "save_comparison", "get_cmap",
+           "apply_freq_ticks", "format_time_ticks"]
 
 _IZO_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "izo_cmap.npy")
 
@@ -40,6 +41,40 @@ def get_cmap(name):
 
 def _mel_extent(sr):
     return units.to_mel(np.array([1.0, sr / 2]))
+
+
+_FREQ_TICKS = np.array([20, 50, 100, 200, 500, 1000, 2000, 5000,
+                        10000, 20000, 50000, 100000], dtype=float)
+
+
+def apply_freq_ticks(ax, sr, mel=True):
+    """Hz-labelled ticks at the 1-2-5 positions on the (mel) frequency axis —
+    the reference's log-frequency tick labeling (vispy_ext.py:216-359)."""
+    ticks = _FREQ_TICKS[_FREQ_TICKS <= sr / 2]
+    pos = units.to_mel(ticks) if mel else ticks
+    labels = [f"{int(t/1000)}k" if t >= 1000 else f"{int(t)}" for t in ticks]
+    ax.set_yticks(pos)
+    ax.set_yticklabels(labels)
+    ax.set_ylabel("Hz")
+    return ax
+
+
+def format_time_ticks(ax):
+    """m:s:ms tick labels on the time axis (vispy_ext.py ExtTicker's
+    timestamp mode; units.py sec_to_timestamp convention)."""
+    from matplotlib.ticker import FuncFormatter
+
+    def fmt(x, _pos):
+        neg = x < 0
+        x = abs(x)
+        m = int(x // 60)
+        s = int(x) % 60
+        ms = int(round((x - int(x)) * 1000))
+        base = f"{m}:{s:02d}" + (f".{ms:03d}".rstrip("0").rstrip(".") if ms else "")
+        return ("-" if neg else "") + base
+
+    ax.xaxis.set_major_formatter(FuncFormatter(fmt))
+    return ax
 
 
 def plot_spectrogram(mag, sr, hop, ax=None, vmin=-120, vmax=0, cmap="magma",
@@ -147,6 +182,8 @@ def save_comparison(path, mag_a, mag_b, sr, hop, **kwargs):
 
     fig, ax = plt.subplots(figsize=(12, 6))
     compare_spectrograms(mag_a, mag_b, sr, hop, ax=ax, **kwargs)
+    apply_freq_ticks(ax, sr, mel=kwargs.get("mel", True))
+    format_time_ticks(ax)
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return path
@@ -174,6 +211,8 @@ def save_spectrogram(path, mag, sr, hop, **kwargs):
 
     fig, ax = plt.subplots(figsize=(12, 6))
     plot_spectrogram(mag, sr, hop, ax=ax, **kwargs)
+    apply_freq_ticks(ax, sr, mel=kwargs.get("mel", True))
+    format_time_ticks(ax)
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return path

@@ -106,3 +106,20 @@ def test_cli_renoise_preview_and_tapesync_compare(tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["preview"] == png and os.path.getsize(png) > 0
+
+
+def test_freq_and_time_tick_helpers():
+    import matplotlib
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    viz.apply_freq_ticks(ax, 44100, mel=True)
+    labels = [t.get_text() for t in ax.get_yticklabels()]
+    assert "1k" in labels and "20k" in labels and "50k" not in labels
+    viz.format_time_ticks(ax)
+    fmt = ax.xaxis.get_major_formatter()
+    assert fmt(61.5, 0) == "1:01.5"
+    assert fmt(0.25, 0) == "0:00.25"
+    assert fmt(120.0, 0) == "2:00"
+    plt.close(fig)
