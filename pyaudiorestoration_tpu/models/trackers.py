@@ -184,8 +184,13 @@ def _adaptive_peak_scan(spec_frames, carry0, tolerance_st, mode: str,
         refined = p.astype(jnp.float32) + 0.5 * (fm1 - fp1) / denom
         is_peak = (fm1 < f0) & (f0 > fp1) & (peak == p)
         peak_bin = jnp.where(is_peak, refined, peak.astype(jnp.float32))
-        freq = peak_bin / fft_size * sr
-        lf = jnp.log2(jnp.maximum(freq, 1e-12))
+        # collapsed band (NU <= NL) -> hold the previous frequency instead of
+        # emitting bin 0 and poisoning the history (mirrors the host warm
+        # loop's NU <= NL guard)
+        band_ok = NU > NL
+        freq = jnp.where(band_ok, peak_bin / fft_size * sr,
+                         jnp.power(2.0, l4))
+        lf = jnp.where(band_ok, jnp.log2(jnp.maximum(freq, 1e-12)), l4)
         return (l2, l3, l4, lf), freq
 
     _, freqs = jax.lax.scan(step, carry0, spec_frames)

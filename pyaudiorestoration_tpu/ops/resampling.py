@@ -195,11 +195,9 @@ def sinc_resample(signal, sample_at, quality: int = 50, tile: int = 16384,
     sig = jnp.asarray(signal)
     sample_at = np.asarray(sample_at, dtype=np.float64)
 
-    # per-sample cutoff from the *unpadded* positions, the last period reused
-    # (reference convention, resampling.py:71; same as _positions_to_device_args)
-    period = np.diff(sample_at)
-    period = np.concatenate([period, period[-1:]]) if len(period) else np.ones(1)
-    fc = np.minimum(1.0 / np.maximum(period, 1e-12), 1.0).astype(np.float32)
+    # exact (anchor, shift) split + per-sample cutoff from the *unpadded*
+    # positions, the last period reused (reference convention, resampling.py:71)
+    ind, shift, fc = _positions_to_device_args(sample_at)
 
     # try the banded layout: per-block anchors + small relative positions
     n_blocks = -(-n_out // block)
@@ -222,9 +220,6 @@ def sinc_resample(signal, sample_at, quality: int = 50, tile: int = 16384,
         out = np.asarray(out).reshape(-1, sig.shape[1])[:n_out]
         return out[:, 0] if was_1d else out
 
-    ind = np.round(sample_at).astype(np.int64)
-    shift = (sample_at - ind).astype(np.float32)
-    ind = ind.astype(np.int32)
     pad = (-n_out) % tile
     if pad:
         ind = np.pad(ind, (0, pad))

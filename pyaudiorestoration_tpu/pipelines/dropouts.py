@@ -142,8 +142,11 @@ def process_heuristic(file_path, fft_size=1024, fft_overlap=4, max_width=0.02,
     """
     hop = fft_size // fft_overlap
     signal, sr, num_channels = audio_io.read_file(file_path)
-    bands = np.logspace(np.log2(f_lower), np.log2(f_upper), num=num_bands,
-                        endpoint=True, base=2, dtype=np.uint16)
+    # python ints, NOT the reference's uint16 dtype (dropouts_gui.py:253):
+    # under NumPy 2's NEP-50 promotion `uint16_band * fft_size` wraps mod
+    # 65536 and corrupts every bin edge
+    bands = [int(b) for b in np.logspace(np.log2(f_lower), np.log2(f_upper),
+                                         num=num_bands, endpoint=True, base=2)]
     band_pairs = list(reversed(list(_pairwise(bands))))
     d = int(max_width / 1.5 * sr / hop)
     n = len(signal)

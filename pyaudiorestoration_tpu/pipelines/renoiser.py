@@ -52,9 +52,8 @@ class RenoisePreview:
         return np.asarray(self._mag)
 
     def noise_profile_from_selection(self, t0, t1):
-        f0 = max(0, int(t0 * self.sr / self.hop))
-        f1 = min(self._mag.shape[1] - 1, int(t1 * self.sr / self.hop))
-        return units.to_dB(np.asarray(jnp.mean(self._mag[:, f0:f1], axis=1)))
+        return noise_profile_from_selection(self.magnitude(), self.sr,
+                                            self.hop, t0, t1)
 
     def remask(self, profile, gain, control_curve=(), overhead=0.0):
         """Masked magnitude for the current parameters — ONE device op, no

@@ -186,29 +186,46 @@ def auto_align(ref_signal, src_signal, sr, num_windows=8, window_s=1.0,
     # initial lag guess: src ~ ref resampled by ratio, so the source position
     # of ref time t is t/ratio and lag(t) = t - t/ratio
     lag_guess = centers - centers / ratio
-    L = int(round(2 * window_s * sr))
-    refs = np.stack([_fixed_window(ref_signal, sr, t - window_s, L)
-                     for t in centers])
-    if ratio != 1.0:
-        Ls = int(round(2 * window_s / ratio * sr))
-        srcs = np.stack([
-            _fixed_window(src_signal, sr, t - d0 - window_s / ratio, Ls)
-            for t, d0 in zip(centers, lag_guess)])
-        # identical positions for every window -> one vmapped resample
-        srcs = resampling.resample_ratio(srcs.T, sr / ratio, sr, quality=8).T
-    else:
-        srcs = np.stack([_fixed_window(src_signal, sr, t - d0 - window_s, L)
-                         for t, d0 in zip(centers, lag_guess)])
-    n = min(refs.shape[1], srcs.shape[1])
-    a = _dsp_bandpass_rows(refs[:, :n], lower, upper, sr)
-    b = _dsp_bandpass_rows(srcs[:, :n], lower, upper, sr)
-    delays, corrs = correlation.find_delay_batch(a, b, window_name="hann")
-    time_delays = np.asarray(delays) / sr * ratio
-    corrs = np.asarray(corrs)
-    samples = [
-        mk.LagSample((t - window_s, lower), (t + window_s, upper),
-                     d0 + float(td), float(c))
-        for t, d0, td, c in zip(centers, lag_guess, time_delays, corrs)]
+    try:
+        L = int(round(2 * window_s * sr))
+        refs = np.stack([_fixed_window(ref_signal, sr, t - window_s, L)
+                         for t in centers])
+        if ratio != 1.0:
+            Ls = int(round(2 * window_s / ratio * sr))
+            srcs = np.stack([
+                _fixed_window(src_signal, sr, t - d0 - window_s / ratio, Ls)
+                for t, d0 in zip(centers, lag_guess)])
+            # identical positions for every window -> one vmapped resample
+            srcs = resampling.resample_ratio(srcs.T, sr / ratio, sr, quality=8).T
+        else:
+            srcs = np.stack([_fixed_window(src_signal, sr, t - d0 - window_s, L)
+                             for t, d0 in zip(centers, lag_guess)])
+        n = min(refs.shape[1], srcs.shape[1])
+        a = _dsp_bandpass_rows(refs[:, :n], lower, upper, sr)
+        b = _dsp_bandpass_rows(srcs[:, :n], lower, upper, sr)
+        delays, corrs = correlation.find_delay_batch(a, b, window_name="hann")
+        time_delays = np.asarray(delays) / sr * ratio
+        corrs = np.asarray(corrs)
+        samples = [
+            mk.LagSample((t - window_s, lower), (t + window_s, upper),
+                         d0 + float(td), float(c))
+            for t, d0, td, c in zip(centers, lag_guess, time_delays, corrs)]
+    except Exception:
+        # batched path failed wholesale (degenerate window, etc.) — fall back
+        # to per-window correlation, skipping individual failures (the
+        # reference's loop contract: one bad window must not kill the run)
+        logging.exception("batched auto_align failed; falling back per-window")
+        samples = []
+        for t, d0 in zip(centers, lag_guess):
+            try:
+                delay, corr = correlate_sources(
+                    ref_signal, src_signal, sr, t - window_s, t + window_s, d0,
+                    lower, upper, window_name="hann", speed=ratio)
+                samples.append(mk.LagSample((t - window_s, lower),
+                                            (t + window_s, upper),
+                                            d0 + delay, corr))
+            except Exception:
+                logging.exception(f"auto_align window at {t:.2f}s failed")
     lag_line = mk.LagLine(sr, hop, dur_ref, smoothing=smoothing)
     data = lag_line.update(samples)
     return samples, data

@@ -137,3 +137,21 @@ def test_trace_sine_reg_end_to_end():
     amp, omega, phase, offset = trackers.trace_sine_reg(curve, 0.0, 4.0, rpm=33.0)
     assert abs(abs(amp) - 0.01) < 1e-4
     assert abs(omega - 2 * np.pi * 0.55) < 1e-2
+
+
+def test_adaptive_scan_holds_on_collapsed_band():
+    """A band prediction that collapses to NU <= NL must hold the previous
+    frequency instead of emitting 0 Hz and poisoning the history."""
+    num_bins = FFT // 2 + 1
+    spec, _ = _wobble_spectrum()
+    # force the history toward a frequency whose band rounds to [1, 1):
+    # seed at ~5 Hz (bin 0.23) -> NL = NU = 1 for every frame
+    duration = spec.shape[1] * HOP / SR
+    trail = [(0.0, 5.0), (duration, 5.0)]
+    times, out = trackers.trace_peak(spec, np.zeros((1000, 1)), trail,
+                                     FFT, HOP, SR, tolerance_st=0.1,
+                                     adaptation_mode="Linear")
+    assert np.all(np.isfinite(out))
+    assert np.all(out > 0.0)
+    # held: the trace never runs away to 0 Hz nor explodes
+    assert np.all(out < SR / 2)

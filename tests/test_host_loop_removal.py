@@ -82,8 +82,10 @@ def _process_heuristic_loop(signal, sr, fft_size, fft_overlap, max_width,
     hop = fft_size // fft_overlap
     signal = signal.copy()
     num_channels = signal.shape[1]
-    bands = np.logspace(np.log2(f_lower), np.log2(f_upper), num=num_bands,
-                        endpoint=True, base=2, dtype=np.uint16)
+    # python ints (matches production: the reference's uint16 dtype wraps
+    # band*fft_size under NumPy 2's NEP-50 promotion)
+    bands = [int(b) for b in np.logspace(np.log2(f_lower), np.log2(f_upper),
+                                         num=num_bands, endpoint=True, base=2)]
     d = int(max_width / 1.5 * sr / hop)
     for channel in range(num_channels):
         imdata = np.asarray(fourier.get_mag(signal[:, channel], fft_size, hop, "hann"))
@@ -118,15 +120,20 @@ def test_process_heuristic_matches_band_loop(tmp_path):
     sr = 8000
     n = sr * 2
     rng = np.random.default_rng(5)
-    sig = (0.02 * rng.standard_normal((n, 2))).astype(np.float32)
-    # carve deep dropouts into the 2-3 kHz band
-    t = np.arange(n) / sr
-    tone = 0.5 * np.sin(2 * np.pi * 2500 * t).astype(np.float32)
+    import scipy.signal as dsp
+
+    # band-limited "music" with SMOOTH dips (hann-shaped, so the envelope
+    # itself adds no click transients that would invert the valley baseline)
+    sos = dsp.butter(4, [1500 / (sr / 2), 3500 / (sr / 2)], btype="band",
+                     output="sos")
+    music = dsp.sosfilt(sos, rng.standard_normal(n)).astype(np.float32)
+    music *= 0.3 / np.abs(music).max()
     env = np.ones(n, np.float32)
     for c in (int(0.7 * sr), int(1.3 * sr)):
-        w = int(0.025 * sr)
-        env[c - w:c + w] *= 0.02
-    sig += (tone * env)[:, None]
+        w = int(0.03 * sr)
+        env[c - w:c + w] *= 1.0 - 0.95 * np.hanning(2 * w).astype(np.float32)
+    sig = (music * env)[:, None] * np.array([[1.0, 0.8]], np.float32)
+    sig += (0.005 * rng.standard_normal((n, 2))).astype(np.float32)
     path = str(tmp_path / "dr.wav")
     audio_io.write_wav(path, sig, sr)
 
@@ -138,5 +145,16 @@ def test_process_heuristic_matches_band_loop(tmp_path):
     orig, _, _ = audio_io.read_file(path)
     want = _process_heuristic_loop(orig, sr, **kw)
     np.testing.assert_allclose(got, want, atol=5e-4)
-    # and the heuristic actually repaired something
-    assert not np.allclose(got, orig)
+    # and the heuristic actually repaired the carved dips: the 2-3 kHz band
+    # energy inside each dropout must be lifted (this also guards the uint16
+    # band-edge overflow fix — wrapped bin edges patch the wrong band)
+    for c in (int(0.7 * sr), int(1.3 * sr)):
+        w = int(0.02 * sr)
+
+        def band_energy(x):
+            spec = np.abs(np.fft.rfft(x))
+            lo = int(2000 * 2 * w / sr)
+            hi = int(3000 * 2 * w / sr)
+            return spec[lo:hi].sum()
+
+        assert band_energy(got[c - w:c + w, 0]) > 1.5 * band_energy(orig[c - w:c + w, 0])
