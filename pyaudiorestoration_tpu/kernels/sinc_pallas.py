@@ -117,8 +117,13 @@ def _kernel_dma(starts_ref, sig_ref, bs_ref, rel_ref, mask_ref, offs_ref,
         rolled = pltpu.roll(buf, L_pad - amount, axis=1)
         buf = take * rolled + (1.0 - take) * buf
 
-    out_ref[...] = _shift_mac(buf, bs_ref[...], rel_ref[...], mask_ref[...],
-                              nt=nt, drift=drift, max_n=max_n)
+    # the shift-MAC only ever reads lanes [v : v+max_n] for v < 2(nt+drift);
+    # drop the alignment margin before the pass loop to keep the rolled
+    # working set minimal (device time is compute-bound either way —
+    # measured identical — but the smaller span frees VMEM for larger max_n)
+    L_use = -(-(max_n + 2 * U) // 128) * 128
+    out_ref[...] = _shift_mac(buf[:, :L_use], bs_ref[...], rel_ref[...],
+                              mask_ref[...], nt=nt, drift=drift, max_n=max_n)
 
 
 @functools.partial(jax.jit, static_argnames=("max_n", "nt", "drift", "tile",
