@@ -1,0 +1,80 @@
+"""Byte-level fuzzing of the native codec entry points.
+
+The FLAC residual-partition overflow (ADVICE round 1, high) showed the
+decoder faces untrusted input.  These tests mutate real container bytes with
+a fixed seed and require every variant to either decode or raise cleanly —
+the process must survive all of them (a crash here fails the whole pytest
+session, which is the point).
+"""
+
+import numpy as np
+import pytest
+
+from pyaudiorestoration_tpu.utils import audio_io
+
+N_MUTANTS = 150
+
+
+def _mutate(data: bytes, rng, n_flips=24):
+    buf = bytearray(data)
+    # bias mutations toward the header/metadata region where parsing lives
+    limit = min(len(buf), 4096)
+    for _ in range(n_flips):
+        if rng.random() < 0.7:
+            pos = int(rng.integers(0, limit))
+        else:
+            pos = int(rng.integers(0, len(buf)))
+        buf[pos] = int(rng.integers(0, 256))
+    # occasionally truncate
+    if rng.random() < 0.3:
+        buf = buf[: int(rng.integers(8, len(buf)))]
+    return bytes(buf)
+
+
+def _fuzz_reader(base_bytes, tmp_path, opener):
+    rng = np.random.default_rng(20260816)
+    survived = decoded = 0
+    path = tmp_path / "fuzz.bin"
+    for _ in range(N_MUTANTS):
+        path.write_bytes(_mutate(base_bytes, rng))
+        try:
+            opener(path)
+            decoded += 1
+        except Exception:
+            pass
+        survived += 1
+    assert survived == N_MUTANTS
+    return decoded
+
+
+def test_fuzz_flac_decoder(samples_dir, tmp_path):
+    base = (samples_dir / "flutter.flac").read_bytes()
+
+    def opener(p):
+        sig, sr, ch = audio_io.read_file(p)
+        assert np.all(np.isfinite(sig[:64]))
+
+    decoded = _fuzz_reader(base, tmp_path, opener)
+    # some mutants only touch audio payload and still decode — both outcomes
+    # are fine; what matters is that none crashed the process
+    assert decoded >= 0
+
+
+def test_fuzz_wav_decoder_and_stream(tmp_path):
+    sr = 8000
+    sig = (0.1 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)).astype(np.float32)
+    base_path = tmp_path / "base.wav"
+    audio_io.write_wav(base_path, np.stack([sig, sig], -1), sr)
+    base = base_path.read_bytes()
+
+    def opener(p):
+        audio_io.read_file(p)
+
+    _fuzz_reader(base, tmp_path, opener)
+
+    def stream_opener(p):
+        with audio_io.StreamReader(p) as r:
+            if r.frames > 0:
+                r.read(0, min(256, r.frames))
+
+    _fuzz_reader(base, tmp_path, stream_opener)
