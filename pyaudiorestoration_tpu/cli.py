@@ -100,6 +100,15 @@ def build_parser():
     sp.add_argument("inputs", nargs="+")
     sp.add_argument("--mode", default="Heuristic", choices=["Heuristic", "MaxMono"])
     _add_fft_args(sp, 1024, 4)
+    # heuristic tuning (the reference's DropsWidget, widgets.py:686-765)
+    sp.add_argument("--max-width", type=float, default=0.02,
+                    help="max dropout width in seconds")
+    sp.add_argument("--max-slope", type=float, default=0.5,
+                    help="max dB/frame slant around a dropout")
+    sp.add_argument("--num-bands", type=int, default=12)
+    sp.add_argument("--bottom-freedom", type=float, default=2.0)
+    sp.add_argument("--f-lower", type=float, default=3000.0)
+    sp.add_argument("--f-upper", type=float, default=12000.0)
 
     sp = sub.add_parser("difeq", help="differential EQ (difeq)")
     sp.add_argument("source")
@@ -257,8 +266,12 @@ def _dispatch(args):
         outs = []
         for path in args.inputs:
             if args.mode == "Heuristic":
-                outs.append(dropouts.process_heuristic(path, args.fft_size,
-                                                       args.fft_overlap))
+                outs.append(dropouts.process_heuristic(
+                    path, args.fft_size, args.fft_overlap,
+                    max_width=args.max_width, max_slope=args.max_slope,
+                    num_bands=args.num_bands,
+                    bottom_freedom=args.bottom_freedom,
+                    f_lower=args.f_lower, f_upper=args.f_upper))
             else:
                 outs.extend(dropouts.process_max_mono(path, args.fft_size,
                                                       args.fft_overlap))

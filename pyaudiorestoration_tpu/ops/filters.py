@@ -60,15 +60,21 @@ def _sos_section_scan(x, b0, b1, b2, a1, a2, zi):
     cs = (x[..., None] * B)[..., None]
     As = jnp.broadcast_to(A, cs.shape[:-2] + (2, 2))
 
+    # full float32 on the tiny 2x2 products: TPU matmul defaults to bfloat16,
+    # whose ~0.4% per-step error compounds MULTIPLICATIVELY over the ~1e5
+    # prefix compositions and overflows to inf/NaN for narrowband filters
+    hi = jax.lax.Precision.HIGHEST
+
     def combine(left, right):
         A1, c1 = left
         A2, c2 = right
-        return jnp.matmul(A2, A1), jnp.matmul(A2, c1) + c2
+        return (jnp.matmul(A2, A1, precision=hi),
+                jnp.matmul(A2, c1, precision=hi) + c2)
 
     M, c = jax.lax.associative_scan(combine, (As, cs), axis=-3)
     # s_n = M_n @ zi + c_n ; y_n needs s_{n-1}
     zi = zi.astype(x.dtype)
-    s = (jnp.matmul(M, zi[..., None, :, None]) + c)[..., 0]  # (..., n, 2)
+    s = (jnp.matmul(M, zi[..., None, :, None], precision=hi) + c)[..., 0]  # (..., n, 2)
     s0 = jnp.broadcast_to(zi[..., None, :], s[..., :1, :].shape)
     s_prev = jnp.concatenate([s0, s[..., :-1, :]], axis=-2)
     return b0 * x + s_prev[..., 0]

@@ -135,10 +135,15 @@ def _pairwise(iterable):
 
 def process_heuristic(file_path, fft_size=1024, fft_overlap=4, max_width=0.02,
                       max_slope=0.5, num_bands=12, bottom_freedom=2.0,
-                      f_lower=3000.0, f_upper=12000.0, suffix=""):
+                      f_lower=3000.0, f_upper=12000.0, suffix="",
+                      filter_backend="device"):
     """Batch heuristic dropout repair over log-spaced bands
     (dropouts_gui.py:241-323): per band, find volume valleys, gate on slope,
     patch the band-passed gain difference back in.
+
+    ``filter_backend="host"`` runs the band-pass cascade through scipy in
+    float64 for bit parity with the reference (the device scan IIR matches
+    to ~55 dB SNR per pass, which compounds over the band cascade).
     """
     hop = fft_size // fft_overlap
     signal, sr, num_channels = audio_io.read_file(file_path)
@@ -165,35 +170,56 @@ def process_heuristic(file_path, fft_size=1024, fft_overlap=4, max_width=0.02,
         for b, (f_lower_band, f_upper_band) in enumerate(band_pairs):
             bin_lower = int(f_lower_band * fft_size / sr)
             bin_upper = int(f_upper_band * fft_size / sr)
-            vol = np.mean(imdata[bin_lower:bin_upper], axis=0)
-            peaks, _ = scipy.signal.find_peaks(-vol, prominence=5, rel_height=0.5)
             gain_curve = np.zeros(T)
-            for peak_i in peaks:
-                if 2 * d < peak_i < T - 2 * d - 1:
-                    left = np.mean(vol[peak_i - 2 * d:peak_i - d])
-                    right = np.mean(vol[peak_i + d:peak_i + 2 * d])
-                    m = (left - right) / (2 * d)
-                    if abs(m) < max_slope:
-                        gain_curve[peak_i - d:peak_i + d + 1] = np.interp(
-                            range(2 * d + 1), (0, 2 * d), (left, right)
-                        ) - vol[peak_i - d:peak_i + d + 1]
+            # a band narrower than one bin at this fft_size/sr has no data;
+            # the reference lets np.mean of the empty slice return NaN and
+            # poisons the whole file (dropouts_gui.py:283) — skip it instead
+            if bin_upper > bin_lower:
+                vol = np.mean(imdata[bin_lower:bin_upper], axis=0)
+                peaks, _ = scipy.signal.find_peaks(-vol, prominence=5,
+                                                   rel_height=0.5)
+                for peak_i in peaks:
+                    if 2 * d < peak_i < T - 2 * d - 1:
+                        left = np.mean(vol[peak_i - 2 * d:peak_i - d])
+                        right = np.mean(vol[peak_i + d:peak_i + 2 * d])
+                        m = (left - right) / (2 * d)
+                        if abs(m) < max_slope:
+                            gain_curve[peak_i - d:peak_i + d + 1] = np.interp(
+                                range(2 * d + 1), (0, 2 * d), (left, right)
+                            ) - vol[peak_i - d:peak_i + d + 1]
             correction_fac = np.clip(units.to_fac(gain_curve), 1,
                                      correction_fac * bottom_freedom)
             fac_all[channel, b] = correction_fac
 
-    # device cascade: every band's envelope multiply + zero-phase band-pass +
-    # accumulate stays on device for all channels; ONE host sync at the end
-    # (round 1 synced per band per channel, dropouts_gui.py:241-323's shape)
-    sig_dev = jnp.asarray(signal.T)  # (C, n)
-    fac_dev = jnp.asarray((fac_all - 1.0).astype(np.float32))
-    x_new = jnp.linspace(0.0, 1.0, n)
-    x_old = jnp.linspace(0.0, 1.0, T)
-    for b, (f_lower_band, f_upper_band) in enumerate(band_pairs):
-        w = jax.vmap(lambda row: jnp.interp(x_new, x_old, row))(fac_dev[:, b])
-        vol_corr = sig_dev * w
-        sig_dev = sig_dev + filters.butter_bandpass_filter(
-            vol_corr, f_lower_band, f_upper_band, sr, order=3)
-    signal = np.asarray(sig_dev).T
+    if filter_backend == "host":
+        # float64 numpy cascade, bit-parity with the reference (the gain
+        # ramps are steep enough that float32 interp placement alone moves
+        # the patch by ~3e-3)
+        sig_host = signal.T.copy()  # (C, n)
+        x_new = np.linspace(0.0, 1.0, n)
+        x_old = np.linspace(0.0, 1.0, T)
+        for b, (f_lower_band, f_upper_band) in enumerate(band_pairs):
+            w = np.stack([np.interp(x_new, x_old, fac_all[c, b] - 1.0)
+                          for c in range(num_channels)])
+            sig_host = sig_host + np.asarray(filters.butter_bandpass_filter(
+                sig_host * w, f_lower_band, f_upper_band, sr, order=3,
+                backend="host"))
+        signal = sig_host.T.astype(np.float32)
+    else:
+        # device cascade: every band's envelope multiply + zero-phase
+        # band-pass + accumulate stays on device for all channels; ONE host
+        # sync at the end (round 1 synced per band per channel,
+        # dropouts_gui.py:241-323's shape)
+        sig_dev = jnp.asarray(signal.T)  # (C, n)
+        fac_dev = jnp.asarray((fac_all - 1.0).astype(np.float32))
+        x_new = jnp.linspace(0.0, 1.0, n)
+        x_old = jnp.linspace(0.0, 1.0, T)
+        for b, (f_lower_band, f_upper_band) in enumerate(band_pairs):
+            w = jax.vmap(lambda row: jnp.interp(x_new, x_old, row))(fac_dev[:, b])
+            vol_corr = sig_dev * w
+            sig_dev = sig_dev + filters.butter_bandpass_filter(
+                vol_corr, f_lower_band, f_upper_band, sr, order=3)
+        signal = np.asarray(sig_dev).T
     return audio_io.write_file(file_path, signal, sr, num_channels, suffix=suffix or "_out")
 
 

@@ -18,6 +18,8 @@ the suite stays green for standalone users of this repo.
 from __future__ import annotations
 
 import importlib
+import importlib.abc
+import importlib.util
 import os
 import sys
 import types
@@ -112,6 +114,124 @@ def _install_soundfile_stub() -> None:
     sf.write = write
     sf.SoundFile = SoundFile
     sys.modules["soundfile"] = sf
+
+
+class _AnyMeta(type):
+    def __getattr__(cls, name):
+        return _Any
+
+
+class _Any(metaclass=_AnyMeta):
+    """Attribute/call-tolerant dummy standing in for Qt/vispy objects.
+
+    Works as a base class (tool windows subclass QtWidgets.QMainWindow), as a
+    callable (QtGui.QIcon(), pyqtSignal(int)), and as an attribute chain
+    (scene.visuals.Line).  Nothing GUI-side is ever *executed* by the golden
+    tests — the stubs only make module import succeed."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __call__(self, *args, **kwargs):
+        return _Any()
+
+    def __getattr__(self, name):
+        return _Any()
+
+
+def _stub_module(name: str) -> types.ModuleType:
+    mod = types.ModuleType(name)
+    mod.__path__ = []  # mark as package so submodule imports reach the finder
+
+    def module_getattr(attr, _name=name):
+        if attr.startswith("__") and attr.endswith("__"):
+            raise AttributeError(attr)
+        return _Any
+
+    mod.__getattr__ = module_getattr
+    return mod
+
+
+_STUB_ROOTS = ("PyQt5", "vispy", "librosa", "sounddevice", "resampy")
+
+
+class _StubFinder(importlib.abc.MetaPathFinder, importlib.abc.Loader):
+    """Auto-creates inert stub modules for any import under _STUB_ROOTS
+    (PyQt5.QtWidgets, vispy.visuals.axis, ...)."""
+
+    def find_spec(self, fullname, path=None, target=None):
+        if fullname.split(".")[0] in _STUB_ROOTS:
+            return importlib.util.spec_from_loader(fullname, self,
+                                                   is_package=True)
+        return None
+
+    def create_module(self, spec):
+        return _stub_module(spec.name)
+
+    def exec_module(self, module):
+        pass
+
+
+def _install_qt_stub() -> None:
+    """Make the reference's GUI-facing imports resolve to inert dummies.
+
+    Covers PyQt5, vispy, librosa and matplotlib's Qt backends, so all nine
+    tool modules import and their module-level pure functions
+    (difeq_gui.get_eq, humspeed_gui.get_spectrum, dropouts_gui.pairwise,
+    dropout detection heuristics, ...) become golden-testable."""
+    if any(isinstance(f, _StubFinder) for f in sys.meta_path):
+        return
+    sys.meta_path.insert(0, _StubFinder())
+    for name in ("matplotlib.backends.backend_qt5",
+                 "matplotlib.backends.backend_qt5agg"):
+        if name not in sys.modules:
+            sys.modules[name] = _stub_module(name)
+    # scipy removed the scipy.ndimage.filters alias namespace that
+    # experiments/decompressor_cmd.py:7 imports from
+    if "scipy.ndimage.filters" not in sys.modules:
+        import scipy.ndimage
+
+        alias = types.ModuleType("scipy.ndimage.filters")
+        alias.uniform_filter1d = scipy.ndimage.uniform_filter1d
+        alias.median_filter = scipy.ndimage.median_filter
+        sys.modules["scipy.ndimage.filters"] = alias
+
+
+def load_tool(module_name: str) -> types.ModuleType:
+    """Import a reference tool module (e.g. 'difeq_gui') or experiment
+    ('experiments.decompressor_cmd') with the GUI stack stubbed out."""
+    key = f"tool:{module_name}"
+    if key in _loaded:
+        return _loaded[key]
+    if not reference_available():
+        raise RuntimeError("reference tree not available")
+    os.environ.setdefault("MPLBACKEND", "Agg")
+    _install_numba_stub()
+    _install_soundfile_stub()
+    _install_qt_stub()
+    for p in (str(REFERENCE_ROOT), str(REFERENCE_ROOT / "experiments")):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    mod = importlib.import_module(module_name)
+    _loaded[key] = mod
+    return mod
+
+
+def extract_function(relpath: str, func_name: str, namespace: dict):
+    """Exec a single module-level function from a reference file that cannot
+    be imported whole (e.g. experiments/group_delay.py runs hardcoded-path
+    code at module level).  ``namespace`` supplies its globals."""
+    import ast
+
+    src = (REFERENCE_ROOT / relpath).read_text()
+    tree = ast.parse(src)
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name == func_name:
+            code = compile(ast.Module(body=[node], type_ignores=[]),
+                           str(REFERENCE_ROOT / relpath), "exec")
+            exec(code, namespace)
+            return namespace[func_name]
+    raise KeyError(f"{func_name} not found in {relpath}")
 
 
 def load(module_name: str) -> types.ModuleType:

@@ -1,0 +1,297 @@
+"""Golden parity vs the reference's TOOL-level code, executed in-process.
+
+With the Qt/vispy import stubs in ``reference_shim`` (no GUI code is ever
+*run* — the stubs only satisfy imports), all nine reference tool modules and
+the experiments import cleanly, so the tool pipelines themselves become
+golden-testable:
+
+- difeq_gui.get_eq                       (difeq_gui.py:24-38)
+- humspeed_gui.get_spectrum              (humspeed_gui.py:18-24)
+- dropouts_gui process_heuristic/max_mono (dropouts_gui.py:137-163, 241-323,
+  run as unbound methods on a plain-data fake ``self``)
+- experiments/decompressor_cmd.process   (decompressor_cmd.py:26-190)
+- experiments/group_delay.get_group_delay (group_delay.py:30-97, extracted by
+  AST because that file runs hardcoded-path code at module level)
+
+Skipped wholesale when /root/reference is not present.
+"""
+
+import types
+
+import numpy as np
+import pytest
+
+from tests import reference_shim
+
+pytestmark = pytest.mark.skipif(
+    not reference_shim.reference_available(),
+    reason="reference tree not available for golden execution",
+)
+
+SR = 44100
+
+
+@pytest.fixture(scope="module")
+def rng_tools():
+    return np.random.default_rng(77)
+
+
+def _write(path, sig, sr):
+    from pyaudiorestoration_tpu.utils import audio_io
+
+    audio_io.write_wav(str(path), np.asarray(sig, np.float32), sr)
+    return str(path)
+
+
+# ------------------------------------------------------------------ difeq --
+
+
+@pytest.mark.parametrize("channel_mode", ["L", "L+R", "Mean"])
+def test_difeq_get_eq_golden(tmp_path, rng_tools, channel_mode):
+    ref_difeq = reference_shim.load_tool("difeq_gui")
+    from pyaudiorestoration_tpu.pipelines import difeq
+
+    t = np.arange(2 * SR) / SR
+    base = (0.4 * np.sin(2 * np.pi * 440 * t)
+            + 0.1 * rng_tools.standard_normal(len(t))).astype(np.float32)
+    tilted = base * 0.7 + 0.05 * np.sin(2 * np.pi * 3000 * t).astype(np.float32)
+    src = _write(tmp_path / "src.wav", np.stack([base, base * 0.9], 1), SR)
+    ref = _write(tmp_path / "ref.wav", np.stack([tilted, tilted], 1), SR)
+
+    g_freqs, g_eq = ref_difeq.get_eq(src, ref, channel_mode)
+    freqs, eq = difeq.get_eq(src, ref, channel_mode)
+    np.testing.assert_allclose(freqs, g_freqs, rtol=1e-9)
+    assert np.asarray(eq).shape == np.asarray(g_eq).shape
+    # float32 device spectra vs the reference's float64 fftpack fallback:
+    # agreement to 0.05 dB everywhere incl. the -100 dB noise floor
+    np.testing.assert_allclose(np.asarray(eq), np.asarray(g_eq), atol=5e-2)
+
+
+def test_difeq_write_eq_txt_golden(tmp_path, rng_tools):
+    ref_difeq = reference_shim.load_tool("difeq_gui")
+    from pyaudiorestoration_tpu.pipelines import difeq
+
+    freqs = np.linspace(20, 20000, 40)
+    db = rng_tools.normal(0, 3, 40)
+    f_ref = tmp_path / "ref_eq.txt"
+    f_our = tmp_path / "our_eq.txt"
+    ref_difeq.write_eq_txt(str(f_ref), freqs, db)
+    difeq.write_eq_txt(str(f_our), freqs, db)
+    assert f_our.read_text() == f_ref.read_text()
+
+
+# --------------------------------------------------------------- humspeed --
+
+
+def test_humspeed_get_spectrum_golden(samples_dir):
+    ref_hum = reference_shim.load_tool("humspeed_gui")
+    from pyaudiorestoration_tpu.pipelines import humspeed
+
+    path = str(samples_dir / "flutter.flac")
+    g_freqs, g_spec, g_sr = ref_hum.get_spectrum(path, "L", 2 ** 15)
+    freqs, spec, sr = humspeed.get_spectrum(path, "L", 2 ** 15)
+    assert sr == g_sr
+    np.testing.assert_allclose(freqs, g_freqs, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(spec), np.asarray(g_spec), atol=5e-2)
+
+
+# --------------------------------------------------------------- dropouts --
+
+
+def _fake_dropouts_self(path, **widget):
+    name = "input"
+    return types.SimpleNamespace(
+        dropout_widget=types.SimpleNamespace(**widget),
+        file_names=[name],
+        names_to_full_paths={name: str(path)},
+    )
+
+
+def test_dropouts_heuristic_golden(tmp_path, rng_tools):
+    """Unbound dropouts_gui.MainWindow.process_heuristic on a fake self vs
+    our pipeline.  fft_size/f_upper are chosen so band_hz * fft_size stays
+    below 65536: the reference builds its band edges as uint16
+    (dropouts_gui.py:253) and under NumPy 2's NEP-50 promotion larger
+    products wrap mod 2**16 inside the reference itself — there is no
+    uncorrupted golden value to compare against beyond that range."""
+    ref_drop = reference_shim.load_tool("dropouts_gui")
+    from pyaudiorestoration_tpu.pipelines import dropouts
+    from pyaudiorestoration_tpu.utils import audio_io
+
+    # deterministic multi-tone: per-band volume curves are flat except at the
+    # carved dropouts, so no find_peaks prominence or slope-gate decision sits
+    # near its threshold (float32-vs-float64 spectra flip marginal decisions)
+    sr = 8000
+    t = np.arange(2 * sr) / sr
+    sig = (0.4 * np.sin(2 * np.pi * 500 * t)
+           + 0.25 * np.sin(2 * np.pi * 300 * t)
+           + 0.15 * np.sin(2 * np.pi * 800 * t)
+           + 0.1 * np.sin(2 * np.pi * 137 * t)).astype(np.float32)
+    # carve two deep dropouts (~30 dB valleys)
+    for c in (0.7, 1.4):
+        i = int(c * sr)
+        sig[i:i + 150] *= 0.03
+    sig2 = np.stack([sig, np.roll(sig, 3)], 1)
+
+    d_ref = tmp_path / "ref"
+    d_our = tmp_path / "ours"
+    d_ref.mkdir()
+    d_our.mkdir()
+    f_ref = _write(d_ref / "tone.wav", sig2, sr)
+    f_our = _write(d_our / "tone.wav", sig2, sr)
+
+    fft_size, overlap = 64, 4
+    widget = dict(max_width=0.08, max_slope=0.5, num_bands=6,
+                  bottom_freedom=2.0, f_lower=100.0, f_upper=1000.0)
+    fake = _fake_dropouts_self(f_ref, **widget)
+    ref_drop.MainWindow.process_heuristic(fake, fft_size, fft_size // overlap)
+    out = dropouts.process_heuristic(f_our, fft_size=fft_size,
+                                     fft_overlap=overlap,
+                                     filter_backend="host", **widget)
+
+    g, sr_a, _ = audio_io.read_file(str(d_ref / "tone_out.wav"))
+    o, sr_b, _ = audio_io.read_file(str(out))
+    assert sr_a == sr_b == sr
+    assert g.shape == o.shape
+    assert not np.allclose(g, sig2, atol=1e-5)  # it actually patched something
+    np.testing.assert_allclose(o, g, atol=2e-4)
+
+    # the default device IIR cascade stays within a restoration-grade
+    # envelope of the float64 golden output
+    out_dev = dropouts.process_heuristic(f_our, fft_size=fft_size,
+                                         fft_overlap=overlap,
+                                         suffix="_dev", **widget)
+    o_dev, _, _ = audio_io.read_file(str(out_dev))
+    snr = 10 * np.log10(np.mean(g ** 2) / np.mean((o_dev - g) ** 2))
+    assert snr > 40.0
+
+
+def test_dropouts_max_mono_golden(tmp_path, rng_tools):
+    ref_drop = reference_shim.load_tool("dropouts_gui")
+    from pyaudiorestoration_tpu.pipelines import dropouts
+    from pyaudiorestoration_tpu.utils import audio_io
+
+    t = np.arange(SR) / SR
+    left = (0.5 * np.sin(2 * np.pi * 440 * t)
+            + 0.05 * rng_tools.standard_normal(len(t))).astype(np.float32)
+    right = (0.4 * np.sin(2 * np.pi * 880 * t)
+             + 0.05 * rng_tools.standard_normal(len(t))).astype(np.float32)
+    sig = np.stack([left, right], 1)
+
+    d_ref = tmp_path / "ref"
+    d_our = tmp_path / "ours"
+    d_ref.mkdir()
+    d_our.mkdir()
+    f_ref = _write(d_ref / "st.wav", sig, SR)
+    f_our = _write(d_our / "st.wav", sig, SR)
+
+    fake = _fake_dropouts_self(f_ref)
+    ref_drop.MainWindow.process_max_mono(fake, 1024, 256)
+    dropouts.process_max_mono(f_our, fft_size=1024, fft_overlap=4)
+
+    for op in ("max", "min"):
+        g, _, _ = audio_io.read_file(str(d_ref / f"stmax.wav")
+                                     if op == "max" else str(d_ref / "stmin.wav"))
+        o, _, _ = audio_io.read_file(str(d_our / f"st{op}.wav"))
+        assert g.shape == o.shape
+        np.testing.assert_allclose(o, g, atol=2e-4)
+
+
+# ----------------------------------------------------------- decompressor --
+
+
+def test_decompressor_golden(tmp_path, rng_tools):
+    ref_cmd = reference_shim.load_tool("decompressor_cmd")
+    from pyaudiorestoration_tpu.pipelines import decompressor
+    from pyaudiorestoration_tpu.utils import audio_io
+
+    # the reference's envelope reassembly needs len(signal)/hop >> corr_hop
+    # (2048) RMS frames — with fewer, its window loop never runs and the
+    # aligned envelope collapses to zeros (decompressor_cmd.py:139-158), so
+    # use a 16 s take as the tool intends (full songs)
+    sr = 22050
+    t = np.arange(16 * sr) / sr
+    env = 0.2 + 0.8 * (0.5 + 0.5 * np.sin(2 * np.pi * 0.7 * t)) ** 2
+    carrier = np.sin(2 * np.pi * 523 * t) + 0.2 * rng_tools.standard_normal(len(t))
+    dynamic = (env * carrier * 0.4).astype(np.float32)
+    compressed = (np.cbrt(np.abs(env)) * np.sign(env) * carrier * 0.3
+                  ).astype(np.float32)
+
+    d_ref = tmp_path / "ref"
+    d_our = tmp_path / "ours"
+    d_ref.mkdir()
+    d_our.mkdir()
+    src_ref = _write(d_ref / "take.wav", np.stack([compressed] * 2, 1), sr)
+    ref_f = _write(d_ref / "master.wav", np.stack([dynamic] * 2, 1), sr)
+    src_our = _write(d_our / "take.wav", np.stack([compressed] * 2, 1), sr)
+    our_f = _write(d_our / "master.wav", np.stack([dynamic] * 2, 1), sr)
+
+    ref_cmd.process(src_ref, ref_f)
+    out = decompressor.decompress_file(src_our, our_f)
+
+    g, sr_a, _ = audio_io.read_file(src_ref + "decompressed.wav")
+    o, sr_b, _ = audio_io.read_file(str(out))
+    assert sr_a == sr_b == sr
+    assert g.shape == o.shape
+    # compare the covered interior: the reference's no-sync path reassembles
+    # the envelope through 50%-overlapped symmetric-hann windows
+    # (decompressor_cmd.py:120-158) whose coverage is ~1 (ripple ~8e-4)
+    # except the final ~2*corr_hop envelope frames, where its window loop
+    # runs out and the envelope decays to hann-tail garbage; ours skips the
+    # no-op reassembly entirely
+    right = 3 * 2048 * 32
+    gi, oi = g[:-right], o[:-right]
+    snr = 10 * np.log10(np.mean(gi ** 2) / np.mean((oi - gi) ** 2))
+    assert snr > 45.0
+
+
+# ------------------------------------------------------------ group delay --
+
+
+def test_group_delay_golden(rng_tools):
+    """Both implementations must recover a known broadband inter-channel
+    delay per band.  The reference function plots instead of returning, so
+    the plotting sink is captured; its file cannot be imported (module-level
+    hardcoded-path code), so the function is AST-extracted and run with the
+    reference's own util modules as globals."""
+    ref_filters = reference_shim.load("filters")
+    ref_corr = reference_shim.load("correlation")
+    from itertools import tee
+
+    def pairwise(it):
+        a, b = tee(it)
+        next(b, None)
+        return zip(a, b)
+
+    captured = {}
+
+    def plot_corr_lag(band_centers, correlations, lags, magnitudes):
+        captured.update(centers=band_centers, corrs=correlations, lags=lags,
+                        mags=magnitudes)
+
+    import logging
+
+    ns = {"np": np, "logging": logging, "filters": ref_filters,
+          "xcorr": ref_corr.xcorr, "parabolic": ref_corr.parabolic,
+          "pairwise": pairwise, "plot_corr_lag": plot_corr_lag}
+    get_group_delay = reference_shim.extract_function(
+        "experiments/group_delay.py", "get_group_delay", ns)
+
+    true_delay = 21
+    noise = rng_tools.standard_normal(3 * SR).astype(np.float32)
+    ref_sig = noise
+    src_sig = np.roll(noise, -true_delay)  # src lags ref by true_delay
+    get_group_delay(ref_sig, src_sig)
+    assert len(captured["lags"]) > 10
+    # reference lag convention: (len//2) - peak of xcorr(ref, src)
+    ref_median = np.median(captured["lags"])
+    assert ref_median == pytest.approx(-true_delay, abs=1.0)
+
+    from pyaudiorestoration_tpu.pipelines import group_delay
+
+    rows = group_delay.band_delays(ref_sig, src_sig, SR)
+    assert len(rows) > 10
+    our_median = np.median([r["lag_samples"] for r in rows])
+    # ours reports find_delay's convention (peak - center) = -reference's
+    assert our_median == pytest.approx(true_delay, abs=1.0)
+    assert ref_median == pytest.approx(-our_median, abs=1.5)

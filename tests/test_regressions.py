@@ -163,3 +163,38 @@ def test_linear_resample_multichannel(rng):
     for c in range(2):
         single = resampling.linear_resample(sig[:, c], sample_at)
         np.testing.assert_allclose(multi[:, c], single, atol=1e-7)
+
+
+def test_process_heuristic_degenerate_band_is_finite(tmp_path, rng):
+    """Bands narrower than one bin (tiny fft_size vs sr) must be skipped;
+    the reference NaN-poisons the whole file via np.mean of an empty slice
+    (dropouts_gui.py:283). Found by driving the CLI at sr=22050, fft 64."""
+    from pyaudiorestoration_tpu.pipelines import dropouts
+    from pyaudiorestoration_tpu.utils import audio_io
+
+    sr = 22050
+    t = np.arange(sr) / sr
+    sig = (0.4 * np.sin(2 * np.pi * 500 * t)).astype(np.float32)
+    sig[8000:8150] *= 0.03
+    path = str(tmp_path / "x.wav")
+    audio_io.write_wav(path, np.stack([sig, sig], 1), sr)
+    out = dropouts.process_heuristic(path, fft_size=64, fft_overlap=4,
+                                     num_bands=6, f_lower=100.0,
+                                     f_upper=1000.0, max_width=0.08)
+    data, _, _ = audio_io.read_file(str(out))
+    assert np.all(np.isfinite(data))
+
+
+def test_narrowband_iir_finite_on_long_signal(rng):
+    """Narrow low-frequency band-pass over ~1e5 samples: the scan's 2x2
+    prefix products must run at full float32 precision (on TPU the default
+    bf16 matmul error compounds multiplicatively and overflows to NaN)."""
+    from pyaudiorestoration_tpu.ops import filters
+
+    x = rng.standard_normal(120000).astype(np.float32)
+    y = np.asarray(filters.butter_bandpass_filter(x, 99, 158, 22050, order=3))
+    assert np.all(np.isfinite(y))
+    yh = np.asarray(filters.butter_bandpass_filter(x, 99, 158, 22050,
+                                                   order=3, backend="host"))
+    snr = 10 * np.log10(np.mean(yh ** 2) / np.mean((y - yh) ** 2))
+    assert snr > 40.0
