@@ -243,6 +243,7 @@ def load(module_name: str) -> types.ModuleType:
     os.environ.setdefault("MPLBACKEND", "Agg")
     _install_numba_stub()
     _install_soundfile_stub()
+    _install_qt_stub()  # some util modules import vispy/Qt (markers, spectrum)
     ref_path = str(REFERENCE_ROOT)
     if ref_path not in sys.path:
         sys.path.insert(0, ref_path)

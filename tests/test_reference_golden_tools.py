@@ -295,3 +295,181 @@ def test_group_delay_golden(rng_tools):
     # ours reports find_delay's convention (peak - center) = -reference's
     assert our_median == pytest.approx(true_delay, abs=1.0)
     assert ref_median == pytest.approx(-our_median, abs=1.5)
+
+
+# --------------------------------------------------------------- expander --
+
+
+def test_expander_golden(tmp_path, rng_tools):
+    """Unbound expander_gui MainWindow methods on a plain-data fake self
+    (expander_gui.py:116-142 envelope, 178-210 expand) vs our pipeline."""
+    ref_exp = reference_shim.load_tool("expander_gui")
+    ref_flat = reference_shim.load("spectrum_flat")
+    from pyaudiorestoration_tpu.pipelines import expander
+    from pyaudiorestoration_tpu.utils import audio_io
+
+    sr = 22050
+    t = np.arange(3 * sr) / sr
+    env = 10.0 ** ((-30 + 12 * np.sin(2 * np.pi * 0.5 * t)) / 20)
+    sig = (env * np.sin(2 * np.pi * 5000 * t)
+           + 0.001 * rng_tools.standard_normal(len(t))).astype(np.float32)
+    sig2 = np.stack([sig, sig * 0.8], 1)
+    d_ref = tmp_path / "ref"
+    d_our = tmp_path / "ours"
+    d_ref.mkdir()
+    d_our.mkdir()
+    f_ref = _write(d_ref / "comp.wav", sig2, sr)
+    f_our = _write(d_our / "comp.wav", sig2, sr)
+
+    fft_size, fft_hop = 512, 64
+    band_lower, band_upper = 4000, 6000
+    clip_lower, clip_upper = -45, -25
+    smoothing_s, transition, order = 0.11, 1000, 3
+
+    class V:
+        def __init__(self, v):
+            self._v = v
+
+        def value(self):
+            return self._v
+
+    fake = object.__new__(ref_exp.MainWindow)
+    fake.file_src = f_ref
+    fake.fft_size = fft_size
+    fake.fft_hop = fft_hop
+    fake.sr = sr
+    fake.s_band_lower = V(band_lower)
+    fake.s_band_upper = V(band_upper)
+    fake.s_clip_lower = V(clip_lower)
+    fake.s_clip_upper = V(clip_upper)
+    fake.s_smoothing = V(smoothing_s)
+    fake.s_transition = V(transition)
+    fake.s_transition_order = V(order)
+    fake.plot = lambda: None
+    fake.spectra, _ = ref_flat.spectra_from_audio(f_ref, fft_size, fft_hop,
+                                                  "L+R", temporal_mean=False)
+    fake.t = np.arange(0, fft_hop * len(fake.spectra[0][0]), fft_hop) / sr
+    ref_exp.MainWindow.on_param_changed(fake)
+    ref_exp.MainWindow.expand(fake)
+
+    out = expander.expand_file(f_our, channel_mode="L+R", fft_size=fft_size,
+                               band_lower=band_lower, band_upper=band_upper,
+                               clip_lower=clip_lower, clip_upper=clip_upper,
+                               smoothing_s=smoothing_s, transition=transition,
+                               order=order)
+    g, _, _ = audio_io.read_file(str(d_ref / "comp_decompressed.wav"))
+    o, _, _ = audio_io.read_file(str(out))
+    assert g.shape == o.shape
+    assert not np.allclose(g, sig2, atol=1e-4)  # it expanded something
+    snr = 10 * np.log10(np.mean(g ** 2) / np.mean((o - g) ** 2))
+    assert snr > 55.0
+
+
+# ----------------------------------------------------------- dropout heal --
+
+
+def test_dropout_heal_golden(tmp_path, samples_dir):
+    """Unbound dropout_healer Canvas.resample_files vs our heal pipeline on
+    the curated dropouts_sample fixture + its .drop project
+    (dropout_healer_gui.py:111-166)."""
+    ref_heal = reference_shim.load_tool("dropout_healer_gui")
+    from pyaudiorestoration_tpu.pipelines import dropouts
+    from pyaudiorestoration_tpu.utils import audio_io, project
+
+    proj = project.Project.load(str(samples_dir / "dropouts_sample.drop"))
+    drops = proj.marker_list("dropouts")
+    sig, sr, _ = audio_io.read_file(str(samples_dir / "dropouts_sample.flac"))
+
+    d_ref = tmp_path / "ref"
+    d_our = tmp_path / "ours"
+    d_ref.mkdir()
+    d_our.mkdir()
+    f_ref = _write(d_ref / "take.wav", sig, sr)
+    f_our = _write(d_our / "take.wav", sig, sr)
+
+    fft_size, overlap = 512, 16
+    fake = object.__new__(ref_heal.Canvas)
+    fake.fft_size = fft_size
+    fake.hop = fft_size // overlap
+    # sr/filenames are properties derived from the spectra list
+    # (spectrum.py:320-341)
+    fake.spectra = [types.SimpleNamespace(sr=sr, audio_path=f_ref)]
+    fake.markers = [types.SimpleNamespace(t=d.t, f=d.f, width=d.width,
+                                          height=d.height,
+                                          surrounding=d.surrounding)
+                    for d in drops]
+    fake.props = types.SimpleNamespace(
+        files_widget=types.SimpleNamespace(files=[types.SimpleNamespace(
+            channel_widget=types.SimpleNamespace(channels=[0]))]),
+        output_widget=types.SimpleNamespace(bump_index=lambda: None,
+                                            suffix=""),
+    )
+    ref_heal.Canvas.resample_files(fake, [f_ref])
+    out = dropouts.heal_file(f_our, drops, fft_size=fft_size,
+                             fft_overlap=overlap, channels=[0])
+
+    g, _, _ = audio_io.read_file(str(d_ref / "take_drops.wav"))
+    o, _, _ = audio_io.read_file(str(out))
+    assert g.shape == o.shape
+    assert not np.allclose(g, sig, atol=1e-5)  # gains were applied
+    snr = 10 * np.log10(np.mean(g ** 2) / np.mean((o - g) ** 2))
+    assert snr > 55.0
+
+
+# ----------------------------------------------------------------- renoiser --
+
+
+def test_renoiser_mask_and_export_golden(tmp_path, rng_tools):
+    """Unbound renoiser Canvas.get_mask_fac + run_resample vs our fused
+    masked pipeline (renoiser_gui.py:273-278, 296-319)."""
+    ref_ren = reference_shim.load_tool("renoiser_gui")
+    ref_four = reference_shim.load("fourier")
+    from pyaudiorestoration_tpu.pipelines import renoiser
+    from pyaudiorestoration_tpu.utils import audio_io
+
+    sr = 22050
+    t = np.arange(2 * sr) / sr
+    sig = (0.3 * np.sin(2 * np.pi * 880 * t)
+           + 0.01 * rng_tools.standard_normal(len(t))).astype(np.float32)
+    sig2 = np.stack([sig, sig], 1)
+    d_ref = tmp_path / "ref"
+    d_our = tmp_path / "ours"
+    d_ref.mkdir()
+    d_our.mkdir()
+    f_ref = _write(d_ref / "noisy.wav", sig2, sr)
+    _write(d_our / "noisy.wav", sig2, sr)
+
+    fft_size, overlap, gain = 1024, 4, -30.0
+    hop = fft_size // overlap
+    num_bins = fft_size // 2 + 1
+    profile = np.linspace(-55.0, -45.0, num_bins).astype(np.float32)
+
+    fake = object.__new__(ref_ren.Canvas)
+    fake.fft_size = fft_size
+    fake.hop = hop
+    fake.final_profile = profile
+    fake.parent = types.SimpleNamespace(props=types.SimpleNamespace(
+        noise_widget=types.SimpleNamespace(gain=gain)))
+    fake.props = types.SimpleNamespace(files_widget=types.SimpleNamespace(
+        files=[types.SimpleNamespace(channel_widget=types.SimpleNamespace(
+            channels=[0, 1]))]))
+    # sr is a property derived from the spectra list (spectrum.py:320-323)
+    fake.spectra = [types.SimpleNamespace(audio_path=f_ref, signal=sig2,
+                                          sr=sr)]
+
+    # mask parity on one spectrogram
+    mag = np.asarray(ref_four.to_mag(ref_four.stft(sig, n_fft=fft_size,
+                                                   step=hop)))
+    g_fac = ref_ren.Canvas.get_mask_fac(fake, mag)
+    o_fac = np.asarray(renoiser.get_mask_fac(mag, profile, gain))
+    np.testing.assert_allclose(o_fac, g_fac, atol=1e-6)
+
+    # full masked export parity
+    ref_ren.Canvas.run_resample(fake)
+    out = renoiser.process(sig2, sr, profile, gain, fft_size=fft_size,
+                           fft_overlap=overlap)
+    g, _, _ = audio_io.read_file(str(d_ref / f"noisy fft={fft_size}.wav"))
+    assert g.shape == out.shape
+    assert not np.allclose(g, sig2, atol=1e-5)  # it denoised something
+    snr = 10 * np.log10(np.mean(g ** 2) / np.mean((out - g) ** 2))
+    assert snr > 55.0
