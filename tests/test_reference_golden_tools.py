@@ -473,3 +473,44 @@ def test_renoiser_mask_and_export_golden(tmp_path, rng_tools):
     assert not np.allclose(g, sig2, atol=1e-5)  # it denoised something
     snr = 10 * np.log10(np.mean(g ** 2) / np.mean((out - g) ** 2))
     assert snr > 55.0
+
+
+# ---------------------------------------------------------------- tapesynch --
+
+
+def test_tapesynch_correlate_sources_golden(rng_tools):
+    """Unbound pytapesynch Canvas.correlate_sources on fake Spectrum objects
+    vs our pipeline (pytapesynch_gui.py:108-133, spectrum.py:153-171)."""
+    ref_tape = reference_shim.load_tool("pytapesynch_gui")
+    ref_spec_mod = reference_shim.load("spectrum")
+    from pyaudiorestoration_tpu.pipelines import tapesynch
+
+    sr = SR
+    true_delay_s = 0.0137
+    noise = rng_tools.standard_normal(4 * sr).astype(np.float32)
+    ref_sig = noise[:, None]
+    src_sig = np.roll(noise, int(round(true_delay_s * sr)))[:, None]
+
+    def fake_spectrum(sig):
+        s = object.__new__(ref_spec_mod.Spectrum)
+        s.signal = sig
+        s.sr = sr
+        s.selected_channel = 0
+        return s
+
+    fake = object.__new__(ref_tape.Canvas)
+    fake.spectra = [fake_spectrum(ref_sig), fake_spectrum(src_sig)]
+    fake.parent = types.SimpleNamespace(props=types.SimpleNamespace(
+        alignment_widget=types.SimpleNamespace(match_speed=False,
+                                               ignore_phase=False)))
+
+    t0, t1, lower, upper = 1.2, 2.4, 200.0, 4000.0
+    g_delay, g_corr = ref_tape.Canvas.correlate_sources(fake, t0, t1, 0.0,
+                                                        lower, upper)
+    o_delay, o_corr = tapesynch.correlate_sources(ref_sig, src_sig, sr, t0, t1,
+                                                  0.0, lower, upper)
+    assert o_delay == pytest.approx(g_delay, abs=2e-6)
+    assert o_corr == pytest.approx(g_corr, abs=1e-4)
+    # both recover the planted shift (negative in find_delay's ref-vs-src
+    # convention: the source lags, so the refinement subtracts)
+    assert g_delay == pytest.approx(-true_delay_s, abs=2e-5)
