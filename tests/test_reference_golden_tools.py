@@ -514,3 +514,99 @@ def test_tapesynch_correlate_sources_golden(rng_tools):
     # both recover the planted shift (negative in find_delay's ref-vs-src
     # convention: the source lags, so the refinement subtracts)
     assert g_delay == pytest.approx(-true_delay_s, abs=2e-5)
+
+
+# ----------------------------------------------------- humspeed track_to --
+
+
+def test_humspeed_track_to_golden(rng_tools):
+    """Unbound humspeed MainWindow.track_to on a fake self vs our pipeline
+    (humspeed_gui.py:138-183)."""
+    ref_hum = reference_shim.load_tool("humspeed_gui")
+    from pyaudiorestoration_tpu.pipelines import humspeed
+
+    sr, fft_size = SR, 2 ** 15
+    freqs = np.fft.rfftfreq(fft_size, 1 / sr)
+    # spectrum with a hum peak slightly off 100 Hz (0.8% fast)
+    spectrum = np.full(len(freqs), -90.0)
+    peak_freq = 100.0 * 1.008
+    pb = int(round(peak_freq * fft_size / sr))
+    spectrum[pb - 1: pb + 2] = (-42.0, -30.0, -41.0)
+    hum_freqs = np.array([50.0, 100.0, 150.0])
+
+    class V:
+        def __init__(self, v):
+            self._v = v
+
+        def value(self):
+            return self._v
+
+    class CB:
+        Clipboard = 0
+
+        def clear(self, mode=None):
+            pass
+
+        def setText(self, s, mode=None):
+            self.text = s
+
+    fake = types.SimpleNamespace(
+        freqs=freqs, spectrum=spectrum, sr=sr, fft_size=fft_size,
+        hum_freqs=hum_freqs, s_tolerance=V(8),
+        marker_freqs=[], marker_dBs=[], ratios=[],
+        l_result=types.SimpleNamespace(setText=lambda s: None), cb=CB())
+    ref_hum.MainWindow.track_to(fake, 101.0)
+    assert fake.ratios, "reference matched the hum"
+
+    res = humspeed.track_to(freqs, spectrum, sr, fft_size, 101.0, hum_freqs,
+                            tolerance=8)
+    assert res is not None
+    freq, db, ratio, percent = res
+    # ours refines the peak on device in float32
+    assert freq == pytest.approx(fake.marker_freqs[0], rel=1e-6)
+    assert db == pytest.approx(fake.marker_dBs[0], rel=1e-5)
+    assert ratio == pytest.approx(fake.ratios[0], rel=1e-6)
+    # the parabola apex of the synthetic 3-point peak lands at ~100.97 Hz,
+    # so the matched 100 Hz hum implies ~ -0.96% speed change
+    assert percent == pytest.approx(-0.957, abs=0.05)
+
+
+# ------------------------------------------------------- spectrum fft cache --
+
+
+def test_spectrum_cache_stride_reuse_golden(rng_tools):
+    """Denser-hop stride reuse vs the reference's get_related_keys
+    (spectrum.py:52-68, 355-376)."""
+    ref_spec_mod = reference_shim.load("spectrum")
+    from pyaudiorestoration_tpu.utils import cache
+
+    spec = object.__new__(ref_spec_mod.Spectrum)
+    spec.fft_storage = {}
+    a128 = rng_tools.standard_normal((513, 64)).astype(np.float32)
+    a256 = a128[:, ::2]
+    spec.fft_storage[(1024, 0, 128, 1)] = a128
+    spec.fft_storage[(1024, 0, 256, 1)] = a256
+    spec.key = (1024, 0, 512, 1)
+    more_dense, more_sparse = ref_spec_mod.Spectrum.get_related_keys(spec)
+    assert more_dense == (1024, 0, 256, 1)
+    # the canvas then strides it down (spectrum.py:373-375)
+    step = spec.key[2] // more_dense[2]
+    golden = np.array(spec.fft_storage[more_dense][:, ::step])
+
+    c = cache.SpectrumCache()
+    c.store(1024, 0, 128, 1, a128)
+    c.store(1024, 0, 256, 1, a256)
+    hit = c.lookup(1024, 0, 512, 1)
+    assert hit is not None
+    np.testing.assert_allclose(np.asarray(hit), golden)
+
+    # quirk guard: for NON-dividing denser hops the reference still strides
+    # with floor division (step = 512//384 = 1) and would store a hop-384
+    # spectrogram under the hop-512 key — silently wrong; ours refuses
+    spec.fft_storage[(1024, 0, 384, 1)] = rng_tools.standard_normal(
+        (513, 43)).astype(np.float32)
+    more_dense, _ = ref_spec_mod.Spectrum.get_related_keys(spec)
+    assert more_dense == (1024, 0, 384, 1)  # closest, not divisible
+    c2 = cache.SpectrumCache()
+    c2.store(1024, 0, 384, 1, spec.fft_storage[(1024, 0, 384, 1)])
+    assert c2.lookup(1024, 0, 512, 1) is None
