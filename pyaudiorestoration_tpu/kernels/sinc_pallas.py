@@ -52,6 +52,15 @@ def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=16):
     chd = np.float32(np.cos(np.pi / nt))
     L = buf.shape[1]
 
+    # The (nt, drift, max_n) contract statically bounds the per-pass tap
+    # offset jf = (v - U) - m to [v-U-drift, v-U+drift] for every VALID lane
+    # (|m| <= drift by the caller's drift bound), and the same bound implies
+    # fc >= 1/(1 + (drift-2)/max_n).  That lets most passes skip, at compile
+    # time, (a) the validity compare+select (interior passes are always
+    # fully valid) and (b) the near-zero Taylor-series evaluation + select
+    # (|pi x| is provably >= ~2 away from the removable singularity).
+    fc_lo = 1.0 / (1.0 + max(drift - 2, 0) / max(max_n, 1))
+
     acc = jnp.zeros(bs.shape, jnp.float32)
     s = c = hs = hc = None
     # static unrolled shift loop: Mosaic lowers static rolls to lane shifts
@@ -64,12 +73,23 @@ def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=16):
             th = (pif / nt) * (jf + float(nt))
             hs = jnp.sin(th)
             hc = jnp.cos(th)
-        valid = (jf >= -nt) & (jf < nt)
-        px2 = (pif * x) * (pif * x)
-        series = 1.0 - px2 / 6.0 * (1.0 - px2 / 20.0 * (1.0 - px2 / 42.0))
-        sinc = jnp.where(jnp.abs(x) < 0.25, series, s / (pif * x))
+        all_valid = (v - U - drift >= -nt) and (v - U + drift <= nt - 1)
+        min_abs_jf = max(0, abs(v - U) - drift)
+        series_needed = (min_abs_jf - 0.5) * fc_lo < 0.25
+        if series_needed:
+            px2 = (pif * x) * (pif * x)
+            series = 1.0 - px2 / 6.0 * (1.0 - px2 / 20.0 * (1.0 - px2 / 42.0))
+            sinc = jnp.where(jnp.abs(x) < 0.25, series, s / (pif * x))
+        else:
+            # masked (in_seg == 0) lanes carry unbounded m and can still land
+            # on x ~ 0 here; keep the quotient finite so 0 * sinc stays 0
+            d = pif * x
+            sinc = s / jnp.where(jnp.abs(d) < 1e-4, np.float32(1e-4), d)
         hann = 0.5 - 0.5 * hc
-        w = jnp.where(valid, sinc * fc * hann, 0.0) * in_seg
+        w = sinc * fc * hann * in_seg
+        if not all_valid:
+            valid = (jf >= -nt) & (jf < nt)
+            w = jnp.where(valid, w, 0.0)
         # left-roll by v == right-roll by L - v (pltpu.roll wants shift >= 0);
         # the used region [:max_n] never touches the circular wrap
         seg = (buf if v == 0 else pltpu.roll(buf, L - v, axis=1))[:, :max_n]
