@@ -96,28 +96,42 @@ def _band_limits_np(freqs, tolerance, fft_size, sr, num_bins):
     return NL - iters, NU + iters
 
 
-@functools.partial(jax.jit, static_argnames=("fft_size", "sr"))
-def _masked_peak_per_frame(spec_sel, NL, NU, fft_size: int, sr: int):
-    """For each frame, argmax within [NL, NU) + parabolic refine when the
-    maximum is a true local peak (wow_detection.py:119-139)."""
-    num_bins = spec_sel.shape[0]
-    bins = jnp.arange(num_bins)
-    frames = spec_sel.T  # (n_frames, num_bins)
-    mask = (bins[None, :] >= NL[:, None]) & (bins[None, :] < NU[:, None])
+def masked_peak_refine(frames, nl, nu, bin_offset: float = 0.0):
+    """THE masked-peak core shared by every tracker tier (wow_detection.py:
+    119-139): per frame, argmax within [nl, nu), parabolic refinement when
+    the maximum is a true local peak (strictly above both neighbors), raw
+    bin index otherwise.
+
+    ``frames``: (..., T, F) magnitudes; ``nl``/``nu``: (..., T) int bands.
+    Returns the refined peak bin as float, plus ``bin_offset`` (for callers
+    whose F axis is a band slice of the full spectrum).  Reused by the dense
+    trackers, the fused banded-DFT tracking (pipelines/respeeder_device.py),
+    and the sharded restore step (parallel/sharded.py) so the peak math
+    cannot drift between tiers.
+    """
+    F = frames.shape[-1]
+    bins = jnp.arange(F)
+    mask = (bins >= nl[..., None]) & (bins < nu[..., None])
     scores = jnp.where(mask, frames, -jnp.inf)
     peak = jnp.argmax(scores, axis=-1)
-    p = jnp.clip(peak, 1, num_bins - 2)
-    fm1 = jnp.take_along_axis(frames, (p - 1)[:, None], axis=-1)[:, 0]
-    f0 = jnp.take_along_axis(frames, p[:, None], axis=-1)[:, 0]
-    fp1 = jnp.take_along_axis(frames, (p + 1)[:, None], axis=-1)[:, 0]
+    p = jnp.clip(peak, 1, F - 2)
+    fm1 = jnp.take_along_axis(frames, (p - 1)[..., None], axis=-1)[..., 0]
+    f0 = jnp.take_along_axis(frames, p[..., None], axis=-1)[..., 0]
+    fp1 = jnp.take_along_axis(frames, (p + 1)[..., None], axis=-1)[..., 0]
     is_peak = (fm1 < f0) & (f0 > fp1) & (peak == p)
     refined, _ = parabolic_batch(frames, p)
-    peak_f = jnp.where(is_peak, refined, peak.astype(refined.dtype))
-    return peak_f / fft_size * sr
+    out = jnp.where(is_peak, refined, peak.astype(refined.dtype))
+    return out + bin_offset if bin_offset else out
+
+
+@functools.partial(jax.jit, static_argnames=("fft_size", "sr"))
+def _masked_peak_per_frame(spec_sel, NL, NU, fft_size: int, sr: int):
+    """Peak bins -> Hz over a (num_bins, n_frames) spectrogram slice."""
+    return masked_peak_refine(spec_sel.T, NL, NU) / fft_size * sr
 
 
 def _trace_peak(spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1.0,
-                adaptation_mode="None", fixed_band=False, half_after=0):
+                adaptation_mode="None", fixed_band=False, half_after=3):
     g = _Grid(spectrum, fft_size, hop, sr, tolerance_st)
     frame_0, frame_1, times, freqs = g.sample_trail(trail)
     if not fixed_band and adaptation_mode in ("Constant", "Linear", "Average"):
@@ -126,10 +140,11 @@ def _trace_peak(spectrum, signal, trail, fft_size, hop, sr, tolerance_st=1.0,
         interp_nans(out)
         return times, out
     if fixed_band:
-        # 'Peak Track': the band comes from the first drawn frequency, with the
-        # tolerance halved after the first 3 frames (wow_detection.py:311-327)
+        # 'Peak Track': the band comes from the first drawn frequency, with
+        # the tolerance halved after the first ``half_after`` frames
+        # (3 in the reference, wow_detection.py:311-327)
         tol = np.full(len(freqs), g.tolerance)
-        tol[min(3, len(tol)):] = g.tolerance / 2
+        tol[min(half_after, len(tol)):] = g.tolerance / 2
         NL, NU = _band_limits_np(np.full(len(freqs), freqs[0]), tol, g.fft_size, g.sr, g.num_bins)
     else:
         NL, NU = _band_limits_np(freqs, g.tolerance, g.fft_size, g.sr, g.num_bins)

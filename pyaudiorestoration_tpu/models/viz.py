@@ -152,6 +152,12 @@ def compare_spectrograms(mag_a, mag_b, sr, hop, offset_b=0.0, ax=None,
     ax = ax or plt.gca()
     a = _db_norm(mag_a, vmin, vmax)
     b = _db_norm(mag_b, vmin, vmax)
+    if a.shape[0] != b.shape[0]:
+        # different bin counts would silently draw source B compressed into
+        # the wrong frequency range on the shared [0, sr/2] row grid
+        raise ValueError(
+            f"both spectrograms must share fft settings: {a.shape[0]} vs "
+            f"{b.shape[0]} frequency bins")
     off_frames = int(round(offset_b * sr / hop))
     n_bins = max(a.shape[0], b.shape[0])
     n_frames = max(a.shape[1], b.shape[1] + max(0, off_frames)) - min(0, off_frames)

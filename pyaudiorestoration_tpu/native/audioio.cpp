@@ -403,20 +403,32 @@ uint32_t rd_u32(const uint8_t* p) {
 }
 uint16_t rd_u16(const uint8_t* p) { return (uint16_t)(p[0] | (p[1] << 8)); }
 
+uint64_t rd_u64(const uint8_t* p) {
+  return (uint64_t)rd_u32(p) | ((uint64_t)rd_u32(p + 4) << 32);
+}
+
 bool decode_wav(const uint8_t* buf, size_t n, AudioData& out) {
-  if (n < 44 || memcmp(buf, "RIFF", 4) != 0 || memcmp(buf + 8, "WAVE", 4) != 0)
-    return false;
+  if (n < 44 || memcmp(buf + 8, "WAVE", 4) != 0) return false;
+  // RF64 (EBU Tech 3306): 64-bit sizes live in a ds64 chunk; the 32-bit
+  // RIFF/data size fields hold the 0xFFFFFFFF sentinel
+  bool rf64 = memcmp(buf, "RF64", 4) == 0 || memcmp(buf, "BW64", 4) == 0;
+  if (!rf64 && memcmp(buf, "RIFF", 4) != 0) return false;
   size_t pos = 12;
   uint16_t fmt = 0, channels = 0, bits = 0;
   uint32_t sr = 0;
+  uint64_t ds64_data = 0;
   const uint8_t* data = nullptr;
   size_t data_len = 0;
   while (pos + 8 <= n) {
     const uint8_t* chunk_id = buf + pos;
-    uint32_t chunk_len = rd_u32(buf + pos + 4);
+    uint64_t chunk_len = rd_u32(buf + pos + 4);
     pos += 8;
-    if (pos + chunk_len > n) chunk_len = (uint32_t)(n - pos);
-    if (memcmp(chunk_id, "fmt ", 4) == 0 && chunk_len >= 16) {
+    if (memcmp(chunk_id, "data", 4) == 0 && chunk_len == 0xFFFFFFFFull && rf64)
+      chunk_len = ds64_data;
+    if (pos + chunk_len > n) chunk_len = (uint64_t)(n - pos);
+    if (memcmp(chunk_id, "ds64", 4) == 0 && chunk_len >= 16) {
+      ds64_data = rd_u64(buf + pos + 8);
+    } else if (memcmp(chunk_id, "fmt ", 4) == 0 && chunk_len >= 16) {
       fmt = rd_u16(buf + pos);
       channels = rd_u16(buf + pos + 2);
       sr = rd_u32(buf + pos + 4);
@@ -427,9 +439,9 @@ bool decode_wav(const uint8_t* buf, size_t n, AudioData& out) {
       }
     } else if (memcmp(chunk_id, "data", 4) == 0) {
       data = buf + pos;
-      data_len = chunk_len;
+      data_len = (size_t)chunk_len;
     }
-    pos += chunk_len + (chunk_len & 1);  // chunks are word-aligned
+    pos += (size_t)(chunk_len + (chunk_len & 1));  // chunks are word-aligned
   }
   if (!data || !channels || !sr) return false;
   size_t bytes_per = bits / 8;
@@ -536,23 +548,33 @@ bool open_wav_stream(const char* path, StreamReader& s) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   uint8_t hdr[12];
-  if (fread(hdr, 1, 12, f) != 12 || memcmp(hdr, "RIFF", 4) != 0 ||
-      memcmp(hdr + 8, "WAVE", 4) != 0) {
+  if (fread(hdr, 1, 12, f) != 12 || memcmp(hdr + 8, "WAVE", 4) != 0) {
     fclose(f);
     return false;
   }
+  bool rf64 = memcmp(hdr, "RF64", 4) == 0 || memcmp(hdr, "BW64", 4) == 0;
+  if (!rf64 && memcmp(hdr, "RIFF", 4) != 0) {
+    fclose(f);
+    return false;
+  }
+  uint64_t ds64_data = 0;
   uint8_t chunk[8];
   while (fread(chunk, 1, 8, f) == 8) {
-    uint32_t len = rd_u32(chunk + 4);
-    if (memcmp(chunk, "fmt ", 4) == 0) {
+    uint64_t len = rd_u32(chunk + 4);
+    if (memcmp(chunk, "ds64", 4) == 0 && len >= 16) {
+      uint8_t body[16];
+      if (fread(body, 1, 16, f) != 16) break;
+      ds64_data = rd_u64(body + 8);
+      fseek(f, (long)(len - 16 + (len & 1)), SEEK_CUR);
+    } else if (memcmp(chunk, "fmt ", 4) == 0) {
       // Mirror decode_wav: a fmt chunk shorter than the 16 fixed bytes would
       // make body.data() null / under-sized for the field reads below.
       if (len < 16) {
         fseek(f, (long)(len + (len & 1)), SEEK_CUR);
         continue;
       }
-      std::vector<uint8_t> body(len);
-      if (fread(body.data(), 1, len, f) != len) break;
+      std::vector<uint8_t> body((size_t)len);
+      if (fread(body.data(), 1, (size_t)len, f) != (size_t)len) break;
       s.fmt = rd_u16(body.data());
       s.channels = rd_u16(body.data() + 2);
       s.sample_rate = (int)rd_u32(body.data() + 4);
@@ -560,6 +582,7 @@ bool open_wav_stream(const char* path, StreamReader& s) {
       if (s.fmt == 0xFFFE && len >= 40) s.fmt = rd_u16(body.data() + 24);
       if (len & 1) fseek(f, 1, SEEK_CUR);
     } else if (memcmp(chunk, "data", 4) == 0) {
+      if (len == 0xFFFFFFFFull && rf64) len = ds64_data;
       s.data_offset = ftell(f);
       size_t bytes_per = s.bits / 8;
       if (!bytes_per || !s.channels) break;
@@ -673,7 +696,8 @@ int audioio_write_wav_f32(const char* path, const float* data, long long frames,
   if (!f) return -1;
   uint32_t data_bytes = (uint32_t)(frames * channels * 4);
   fwrite("RIFF", 1, 4, f);
-  wr_u32(f, 36 + 4 + data_bytes);  // + fact chunk? keep minimal: no fact
+  // 4 (WAVE) + 24 (fmt) + 12 (fact) + 8 (data hdr) + payload
+  wr_u32(f, 48 + data_bytes);
   fwrite("WAVE", 1, 4, f);
   fwrite("fmt ", 1, 4, f);
   wr_u32(f, 16);
@@ -683,6 +707,10 @@ int audioio_write_wav_f32(const char* path, const float* data, long long frames,
   wr_u32(f, (uint32_t)(sample_rate * channels * 4));
   wr_u16(f, (uint16_t)(channels * 4));
   wr_u16(f, 32);
+  // non-PCM formats require a fact chunk (dwSampleLength)
+  fwrite("fact", 1, 4, f);
+  wr_u32(f, 4);
+  wr_u32(f, (uint32_t)frames);
   fwrite("data", 1, 4, f);
   wr_u32(f, data_bytes);
   size_t written = fwrite(data, 4, (size_t)frames * channels, f);

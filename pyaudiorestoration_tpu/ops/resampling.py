@@ -316,6 +316,12 @@ def run(filenames, signal_data=None, speed_curve=None, resampling_mode="Linear",
             else:
                 raise ValueError("need speed_curve or lag_curve")
         channels = [c for c in use_channels if c < signal.shape[1]] or list(range(num_channels))
+        # progress milestones are per stage+file rather than the reference's
+        # per-channel ticks (resampling.py:230-231): channels resample in ONE
+        # vmapped device call here, so there is no per-channel point left
+        fi = len(out_paths)
+        n_files = len(filenames)
+        progress(int((fi + 0.25) / n_files * 100))
         with log_duration("Resampling"):
             # all channels in one vmapped device call (the reference fans a
             # thread pool over channels+chunks, resampling.py:30-46)
@@ -324,10 +330,11 @@ def run(filenames, signal_data=None, speed_curve=None, resampling_mode="Linear",
                 output = sinc_resample(sel, sample_at, quality=sinc_quality)
             else:
                 output = linear_resample(sel, sample_at)
-            progress(100)
+            progress(int((fi + 0.85) / n_files * 100))
         with log_duration("Writing"):
             out_path = f"{os.path.splitext(filename)[0]}_res{suffix}.wav"
             audio_io.write_wav(out_path, output, sr)
             out_paths.append(out_path)
+            progress(int(len(out_paths) / n_files * 100))
     logging.info("Done!")
     return out_paths

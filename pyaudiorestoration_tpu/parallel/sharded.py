@@ -262,19 +262,13 @@ def _masked_peak_local(spec_local, nl, nu):
 
     ``nl``/``nu``: per-frame int32 band limits (T_local,) — fixed-f0 callers
     pass constant arrays, trail-driven tracking passes the trail's bands
-    (matching pipelines/respeeder_device.track_speed_device)."""
-    num_bins = spec_local.shape[-2]
-    bins = jnp.arange(num_bins)
+    (matching pipelines/respeeder_device.track_speed_device).  Delegates to
+    the shared core so the sharded tier applies the same is-a-true-local-peak
+    gate as the dense trackers (this previously refined unconditionally)."""
+    from ..models.trackers import masked_peak_refine
+
     frames = jnp.swapaxes(spec_local, -1, -2)  # (..., T, F)
-    mask = (bins[None, :] >= nl[:, None]) & (bins[None, :] < nu[:, None])
-    scores = jnp.where(mask, frames, -jnp.inf)
-    peak = jnp.argmax(scores, axis=-1)
-    p = jnp.clip(peak, 1, num_bins - 2)
-    fm1 = jnp.take_along_axis(frames, (p - 1)[..., None], axis=-1)[..., 0]
-    f0 = jnp.take_along_axis(frames, p[..., None], axis=-1)[..., 0]
-    fp1 = jnp.take_along_axis(frames, (p + 1)[..., None], axis=-1)[..., 0]
-    denom = jnp.where(fm1 - 2 * f0 + fp1 == 0, 1e-12, fm1 - 2 * f0 + fp1)
-    return p + 0.5 * (fm1 - fp1) / denom  # refined peak bin per frame
+    return masked_peak_refine(frames, nl, nu)
 
 
 def restore_step(mesh: Mesh, x, f0_hz: float, sr: int, n_fft: int = 512,

@@ -192,8 +192,10 @@ def sniff_offset(signal, sr, fft_size=1024, fft_overlap=4, f_lo=3000, f_hi=12000
     yields the gain at every sample position, and phase i's frame set is
     every hop-th position starting at -i — the same total FLOPs as the
     reference's sequential hop loop of full STFTs, in a single launch.
-    (Boundary frames use zero context instead of the loop's per-offset
-    reflect pad; the phase ranking is interior-dominated.)
+    The variance is scored over frames whose windows lie fully inside the
+    signal for EVERY phase, so no phase gains or loses boundary frames
+    (the reference's per-offset reflect pad gives each phase a slightly
+    different boundary-frame set; the ranking is interior-dominated).
     """
     hop = fft_size // fft_overlap
     sig = np.asarray(signal[:, 0] if signal.ndim == 2 else signal, np.float32)
@@ -206,6 +208,13 @@ def sniff_offset(signal, sr, fft_size=1024, fft_overlap=4, f_lo=3000, f_hi=12000
     # [q - fft//2, q + fft//2); front zeros serve every phase shift
     xp = np.pad(sig, (hop - 1 + fft_size // 2, fft_size))
     g = _band_gain_positions(jnp.asarray(xp), fft_size, lo, hi, n_pos, 4096)
-    stds_by_col = jnp.std(g.reshape(T, hop), axis=0)
+    # row t column c is position q = t*hop + c - (hop-1); keep rows whose
+    # positions are >= fft//2 and <= n - fft//2 for all c (fully interior)
+    t_lo = -(-(fft_size // 2 + hop - 1) // hop)
+    t_hi = (n - fft_size // 2) // hop + 1
+    rows = g.reshape(T, hop)
+    if t_hi - t_lo >= 4:
+        rows = rows[t_lo:t_hi]
+    stds_by_col = jnp.std(rows, axis=0)
     # phase i reads column hop-1-i
     return int(jnp.argmax(stds_by_col[::-1]))

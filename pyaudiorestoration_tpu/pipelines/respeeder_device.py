@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models.trackers import masked_peak_refine
 from ..ops.fourier import get_window
 from ..ops.resampling import _sinc_window
 
@@ -105,17 +106,8 @@ def track_peaks_span(xp, NL, NU, n_frames: int, n_fft: int, step: int,
         else:
             spec = jnp.fft.rfft(frames, n=n_fft * zeropad, axis=-1) / np.sqrt(n_fft)
             mag = jnp.abs(spec) + 1e-7  # (chunk, F)
-        mask = (bins[None, :] >= nl[:, None]) & (bins[None, :] < nu[:, None])
-        scores = jnp.where(mask, mag, -jnp.inf)
-        peak = jnp.argmax(scores, axis=-1)  # band-local
-        p = jnp.clip(peak, 1, nb - 2)
-        fm1 = jnp.take_along_axis(mag, (p - 1)[:, None], -1)[:, 0]
-        f0 = jnp.take_along_axis(mag, p[:, None], -1)[:, 0]
-        fp1 = jnp.take_along_axis(mag, (p + 1)[:, None], -1)[:, 0]
-        denom = jnp.where(fm1 - 2 * f0 + fp1 == 0, 1e-12, fm1 - 2 * f0 + fp1)
-        xv = 0.5 * (fm1 - fp1) / denom + p
-        is_peak = (fm1 < f0) & (f0 > fp1) & (peak == p)
-        return jnp.where(is_peak, xv, peak.astype(xv.dtype)) + float(lo)
+        # nl/nu are absolute bins; mag's F axis is band-local (offset lo)
+        return masked_peak_refine(mag, nl - lo, nu - lo, bin_offset=float(lo))
 
     refined = jax.lax.map(one_chunk, (
         jnp.arange(n_chunks),

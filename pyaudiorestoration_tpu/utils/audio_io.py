@@ -146,14 +146,24 @@ class StreamWriter:
     91-120 writes blockwise with soundfile).
     """
 
-    def __init__(self, path, sr, channels):
+    # fixed header layout (offsets): RIFF/RF64 @0, riff size @4, WAVE @8,
+    # JUNK/ds64 @12 (28-byte payload @20, the BWF RF64 reservation pattern),
+    # fmt @48 (16-byte payload @56), fact @72 (dwSampleLength @80),
+    # data @84 (size @88), samples from @92
+    _DS64_OFF, _FACT_OFF, _DATA_SIZE_OFF, _DATA_START = 12, 80, 88, 92
+
+    def __init__(self, path, sr, channels, force_rf64=False):
         self.path = path
         self.sr = int(sr)
         self.channels = int(channels)
         self.frames = 0
+        self.force_rf64 = force_rf64  # testing hook for the > 4 GiB path
         self._f = open(path, "wb")
         f = self._f
         f.write(b"RIFF" + (0).to_bytes(4, "little") + b"WAVE")
+        # 28-byte JUNK reservation: rewritten in place as ds64 when the
+        # final size exceeds the 32-bit RIFF fields (EBU Tech 3306)
+        f.write(b"JUNK" + (28).to_bytes(4, "little") + b"\x00" * 28)
         f.write(b"fmt " + (16).to_bytes(4, "little"))
         f.write((3).to_bytes(2, "little"))                      # IEEE float
         f.write(self.channels.to_bytes(2, "little"))
@@ -161,7 +171,10 @@ class StreamWriter:
         f.write((self.sr * self.channels * 4).to_bytes(4, "little"))
         f.write((self.channels * 4).to_bytes(2, "little"))
         f.write((32).to_bytes(2, "little"))
+        # non-PCM formats require a fact chunk
+        f.write(b"fact" + (4).to_bytes(4, "little") + (0).to_bytes(4, "little"))
         f.write(b"data" + (0).to_bytes(4, "little"))
+        assert f.tell() == self._DATA_START
 
     def write(self, block):
         block = np.ascontiguousarray(np.asarray(block, dtype=np.float32))
@@ -175,11 +188,31 @@ class StreamWriter:
         if self._f is None:
             return
         data_len = self.frames * self.channels * 4
+        riff_size = self._DATA_START - 8 + data_len
         f = self._f
-        f.seek(4)
-        f.write((36 + data_len).to_bytes(4, "little"))
-        f.seek(40)
-        f.write(data_len.to_bytes(4, "little"))
+        u32_max = 0xFFFFFFFF
+        if riff_size <= u32_max and self.frames <= u32_max and not self.force_rf64:
+            f.seek(4)
+            f.write(riff_size.to_bytes(4, "little"))
+            f.seek(self._FACT_OFF)
+            f.write(self.frames.to_bytes(4, "little"))
+            f.seek(self._DATA_SIZE_OFF)
+            f.write(data_len.to_bytes(4, "little"))
+        else:
+            # > 4 GiB: finalize as RF64 — sizes move to the ds64 chunk and
+            # the 32-bit fields hold the 0xFFFFFFFF sentinel
+            f.seek(0)
+            f.write(b"RF64" + u32_max.to_bytes(4, "little"))
+            f.seek(self._DS64_OFF)
+            f.write(b"ds64" + (28).to_bytes(4, "little")
+                    + riff_size.to_bytes(8, "little")
+                    + data_len.to_bytes(8, "little")
+                    + self.frames.to_bytes(8, "little")
+                    + (0).to_bytes(4, "little"))
+            f.seek(self._FACT_OFF)
+            f.write(u32_max.to_bytes(4, "little"))
+            f.seek(self._DATA_SIZE_OFF)
+            f.write(u32_max.to_bytes(4, "little"))
         f.close()
         self._f = None
         logging.info(f"Wrote {self.path} ({self.frames} frames, streamed)")

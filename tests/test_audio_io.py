@@ -74,3 +74,50 @@ def test_write_file_suffix(tmp_path, rng):
     assert out.endswith("x_res.wav")
     back, sr, ch = audio_io.read_file(out)
     np.testing.assert_array_equal(back[:, 0], sig)
+
+
+def test_stream_writer_fact_and_riff_sizes(tmp_path, rng):
+    """Streamed WAVs carry a spec-required fact chunk (IEEE-float format)
+    and exact RIFF/data sizes; the JUNK reservation must be skipped by all
+    readers."""
+    from pyaudiorestoration_tpu.utils import audio_io
+
+    sig = rng.standard_normal((5000, 2)).astype(np.float32)
+    path = str(tmp_path / "s.wav")
+    with audio_io.StreamWriter(path, 22050, 2) as w:
+        w.write(sig[:3000])
+        w.write(sig[3000:])
+    raw = open(path, "rb").read()
+    assert raw[:4] == b"RIFF"
+    assert int.from_bytes(raw[4:8], "little") == len(raw) - 8
+    assert raw[12:16] == b"JUNK" and b"fact" in raw[:92]
+    back, sr, ch = audio_io.read_file(path)
+    assert (sr, ch) == (22050, 2)
+    np.testing.assert_array_equal(back, sig)
+    r = audio_io.StreamReader(path)
+    assert r.frames == 5000
+    np.testing.assert_array_equal(r.read(1000, 500), sig[1000:1500])
+
+
+def test_stream_writer_rf64_finalize(tmp_path, rng):
+    """Outputs >= 4 GiB finalize as RF64 (sizes in ds64) instead of
+    overflowing the 32-bit RIFF fields and losing the whole take; the
+    force_rf64 hook exercises that path at test size, and both the
+    in-memory decoder and the streaming reader parse it."""
+    from pyaudiorestoration_tpu.utils import audio_io
+
+    sig = rng.standard_normal((4096, 1)).astype(np.float32)
+    path = str(tmp_path / "big.wav")
+    with audio_io.StreamWriter(path, 48000, 1, force_rf64=True) as w:
+        w.write(sig)
+    raw = open(path, "rb").read()
+    assert raw[:4] == b"RF64"
+    assert raw[4:8] == b"\xff\xff\xff\xff"
+    assert raw[12:16] == b"ds64"
+    assert int.from_bytes(raw[28:36], "little") == sig.nbytes  # ds64 data size
+    back, sr, ch = audio_io.read_file(path)
+    assert (sr, ch) == (48000, 1)
+    np.testing.assert_array_equal(back, sig)
+    r = audio_io.StreamReader(path)
+    assert r.frames == 4096
+    np.testing.assert_array_equal(r.read(4000, 96), sig[4000:])
