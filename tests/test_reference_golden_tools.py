@@ -610,3 +610,35 @@ def test_spectrum_cache_stride_reuse_golden(rng_tools):
     c2 = cache.SpectrumCache()
     c2.store(1024, 0, 384, 1, spec.fft_storage[(1024, 0, 384, 1)])
     assert c2.lookup(1024, 0, 512, 1) is None
+
+
+# ------------------------------------------------------- legacy text formats --
+
+
+def test_legacy_readers_golden(tmp_path):
+    """read_trace/.speed, read_regs/.sin, read_lag/.syn vs the reference's
+    executed parsers (io_ops.py:26-82)."""
+    ref_io = reference_shim.load("io_ops")
+    from pyaudiorestoration_tpu.utils import project
+
+    base = tmp_path / "take.wav"
+    base.write_bytes(b"")
+    (tmp_path / "take.speed").write_text(
+        "? 0.125\n0.0 980.5\n0.5 991.25\n? -0.5\n1.0 1003.0\n1.5 1001.5\n")
+    (tmp_path / "take.sin").write_text(
+        "1.0 3.0 0.012 3.5 0.4 0.0\n4.0 6.0 0.02 3.1 2.9 0.25\n")
+    (tmp_path / "take.syn").write_text(
+        "0.0 100.0 1.0 200.0 0.0123\n2.0 100.0 3.0 200.0 0.011\n")
+
+    g_trace = ref_io.read_trace(str(base))
+    o_trace = project.read_trace(str(base))
+    assert len(o_trace) == len(g_trace) == 2
+    for (go, gt, gf), (oo, ot, of) in zip(g_trace, o_trace):
+        assert oo == go
+        np.testing.assert_allclose(ot, gt)
+        np.testing.assert_allclose(of, gf)
+
+    np.testing.assert_allclose(project.read_regs(str(base)),
+                               ref_io.read_regs(str(base)))
+    np.testing.assert_allclose(project.read_lag(str(base)),
+                               ref_io.read_lag(str(base)))
