@@ -66,7 +66,10 @@ def merge_traces(lines_to_merge, master_speed_data, sr, hop):
     i1 = int(t1 * sr / hop)
     data = master_speed_data[i0:i1]
     freqs = np.power(2, data[:, 1] + np.log2(np.mean(means)))
-    return mk.TraceLine(data[:, 0], freqs, offset=None, auto_align=True)
+    # at construction time the canvas still contains the traces being merged,
+    # so the new line auto-aligns against them (pyrespeeder_gui.py:109-110)
+    return mk.TraceLine(data[:, 0], freqs, offset=None, auto_align=True,
+                        other_lines=list(lines_to_merge))
 
 
 def respeed(filenames, lines=(), regs=(), sr=None, hop=None, duration=None,

@@ -55,9 +55,19 @@ def main(out_dir="baseline_runs"):
 
     def staged(name):
         def wrap(fn):
+            # cold run includes XLA compilation (one-time per shape); the
+            # warm second run is the steady-state cost a batch deployment
+            # pays per file
             t0 = time.perf_counter()
             res = fn()
-            res["wall_s"] = round(time.perf_counter() - t0, 3)
+            cold = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            res = fn()
+            warm = time.perf_counter() - t0
+            res["wall_cold_s"] = round(cold, 3)
+            res["wall_warm_s"] = round(warm, 3)
+            if "audio_s" in res:
+                res["rtf_warm"] = round(res["audio_s"] / warm, 1)
             results[name] = res
             print(name, json.dumps(res))
         return wrap

@@ -111,3 +111,45 @@ def test_azimuth_reject_golden(ref_markers, rng, overlap, reject, monkeypatch):
     ours.update_reject(overlap, reject)
     np.testing.assert_allclose(ours.lags, ref_az.lags, atol=1e-12)
     assert ours.d == pytest.approx(ref_az.d, abs=1e-12)
+
+
+def test_merge_traces_golden(ref_markers):
+    """The merge-traces glue (pyrespeeder_gui.py:91-110): master-curve slice
+    -> 2^ re-centering on the traces' mean frequency -> auto-aligned new
+    TraceLine.  Runs the reference Canvas method on a plain-data fake."""
+    ref_resp = reference_shim.load_tool("pyrespeeder_gui")
+    from pyaudiorestoration_tpu.models import markers
+    from pyaudiorestoration_tpu.pipelines import respeeder
+
+    sr, hop, duration = 44100, 256, 6.0
+
+    # two overlapping traces on a fake canvas
+    canvas = _marker_canvas()
+    t1 = np.linspace(0.5, 2.5, 100)
+    f1 = 990.0 * np.exp(0.008 * np.sin(7 * t1))
+    t2 = np.linspace(1.5, 3.5, 100)
+    f2 = 1010.0 * np.exp(0.008 * np.sin(7 * t2 + 1.0))
+    ref_a = ref_markers.TraceLine(canvas, t1, f1)
+    ref_b = ref_markers.TraceLine(canvas, t2, f2)
+    canvas.lines = [ref_a, ref_b]
+    canvas.sr, canvas.hop, canvas.duration = sr, hop, duration
+    canvas.speed_view = types.SimpleNamespace(scene=None)
+    master = ref_markers.MasterSpeedLine(canvas)
+    master.update()
+    canvas.master_speed = master
+
+    merged = {}
+    canvas.props = types.SimpleNamespace(undo_stack=types.SimpleNamespace(
+        push=lambda action: merged.update(line=action.traces[0])))
+    fake = canvas  # Canvas.merge_traces only touches these attrs
+    ref_resp.Canvas.merge_traces(fake, [ref_a, ref_b])
+    g_line = merged["line"]
+
+    our_a = markers.TraceLine(t1, f1)
+    our_b = markers.TraceLine(t2, f2)
+    our_master = markers.MasterSpeedLine(sr, hop, duration)
+    data = our_master.update([our_a, our_b])
+    o_line = respeeder.merge_traces([our_a, our_b], data, sr, hop)
+    np.testing.assert_allclose(o_line.times, g_line.times, rtol=1e-9)
+    assert o_line.offset == pytest.approx(g_line.offset, abs=1e-7)
+    np.testing.assert_allclose(o_line.speed, g_line.speed, atol=1e-6)
