@@ -150,6 +150,14 @@ def main(out_dir="baseline_runs"):
         return {"audio_s": round(len(sig) / sr, 2), "sr": sr,
                 "outputs": [ep] + hp}
 
+    results["_notes"] = (
+        "wall_cold_s includes one-time XLA compilation; wall_warm_s is the "
+        "steady-state per-file cost.  In this dev environment the warm walls "
+        "of file-writing configs are dominated by the TPU relay's ~1 MB/s "
+        "device->host download of the output audio (docs/BENCHMARKS.md "
+        "'Measurement caveats'); bench.py isolates the device-resident "
+        "pipeline from that artifact."
+    )
     path = os.path.join(out_dir, "BASELINE_RESULTS.json")
     with open(path, "w") as w:
         json.dump(results, w, indent=2)
