@@ -32,7 +32,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops.fourier import get_window
 
 __all__ = ["stft_sharded", "istft_sharded", "restore_step", "halo_exchange_right",
-           "hpss_sharded", "cog_sharded"]
+           "hpss_sharded", "cog_sharded", "renoise_sharded"]
 
 
 def _left_ppermute(x, axis_name, n_shards):
@@ -192,6 +192,24 @@ def hpss_sharded(mesh: Mesh, spec_mag, kernel_size: int = 31, power: float = 2.0
         out_specs=(P("files", None, "time"), P("files", None, "time")),
         check_vma=False,
     )(spec_mag)
+
+
+def renoise_sharded(mesh: Mesh, x, profile, gain: float, n_fft: int = 1024,
+                    step: int = 256, window_name: str = "blackmanharris"):
+    """Time-sharded masked denoise of a (files, time) batch: sharded STFT ->
+    per-bin noise-threshold gain mask -> sharded iSTFT.
+
+    The mask itself (renoiser_gui.py:273-278: ``gain`` dB below the profile
+    threshold, 0 dB above) is elementwise per (bin, frame), so it runs
+    shard-local between the two halo-exchanging transforms; ``profile`` is a
+    (n_freqs,) dB threshold curve replicated to every device.
+    """
+    spec = stft_sharded(mesh, x, n_fft, step, window_name)
+    mag_db = 20.0 * jnp.log10(jnp.abs(spec) + 1e-7)
+    thresh = jnp.asarray(profile, jnp.float32)[None, :, None]
+    fac = jnp.where(mag_db > thresh, 1.0,
+                    jnp.power(10.0, jnp.float32(gain) / 20.0))
+    return istft_sharded(mesh, spec * fac, n_fft, step, window_name)
 
 
 def cog_sharded(mesh: Mesh, spec_mag, NL0, NU0, tolerance, fft_size: int, sr: int):
