@@ -32,7 +32,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops.fourier import get_window
 
 __all__ = ["stft_sharded", "istft_sharded", "restore_step", "halo_exchange_right",
-           "hpss_sharded", "cog_sharded", "renoise_sharded"]
+           "hpss_sharded", "cog_sharded", "renoise_sharded", "heal_sharded"]
 
 
 def _left_ppermute(x, axis_name, n_shards):
@@ -209,6 +209,22 @@ def renoise_sharded(mesh: Mesh, x, profile, gain: float, n_fft: int = 1024,
     thresh = jnp.asarray(profile, jnp.float32)[None, :, None]
     fac = jnp.where(mag_db > thresh, 1.0,
                     jnp.power(10.0, jnp.float32(gain) / 20.0))
+    return istft_sharded(mesh, spec * fac, n_fft, step, window_name)
+
+
+def heal_sharded(mesh: Mesh, x, gain_db, n_fft: int = 512, step: int = 128,
+                 window_name: str = "blackmanharris"):
+    """Time-sharded dropout healing: sharded STFT -> marker-driven dB gain
+    mask (computed on the host at frame rate by pipelines/dropouts.py's
+    marker logic and passed in as ``gain_db``) -> sharded iSTFT.
+
+    ``x``: (files, time) batch; ``gain_db``: (files, n_freqs, n_frames)
+    boost mask in dB (0 = untouched), laid out to match ``stft_sharded``'s
+    left-aligned frames.  The multiply is elementwise/shard-local; only the
+    two transforms exchange halos.
+    """
+    spec = stft_sharded(mesh, x, n_fft, step, window_name)
+    fac = jnp.power(10.0, jnp.asarray(gain_db, jnp.float32) / 20.0)
     return istft_sharded(mesh, spec * fac, n_fft, step, window_name)
 
 

@@ -140,3 +140,34 @@ def test_renoise_sharded_matches_dense(mesh8, rng):
         np.testing.assert_allclose(y[b, lo:hi], ref_y[lo:hi], atol=5e-4)
         # and the tone survives while the floor is attenuated
         assert np.std(y[b, lo:hi]) > 0.1
+
+
+def test_heal_sharded_boosts_dropout(mesh8, rng):
+    """Sharded dropout heal: a dB gain mask over the dropout's bins/frames
+    raises the carved region back while leaving the rest bit-close."""
+    n_fft, step = 512, 128
+    sr = 8192
+    t = np.arange(4 * sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 640 * t)).astype(np.float32)
+    n = len(x)
+    d0, d1 = int(1.5 * sr), int(1.5 * sr) + 4096
+    x[d0:d1] *= 0.1
+    x2 = np.stack([x, x])
+
+    n_frames = (2 * n) // (2 * step)  # matches stft_sharded layout (T = local_total/step)
+    T = n // step
+    gain = np.zeros((2, n_fft // 2 + 1, T), np.float32)
+    bin_c = round(640 * n_fft / sr)
+    f0, f1 = d0 // step - 1, d1 // step + 1
+    gain[:, bin_c - 3:bin_c + 4, f0:f1] = 20.0  # +20 dB on the tone band
+
+    xs = pmesh.shard_time_batch(mesh8, x2)
+    y = np.asarray(sharded.heal_sharded(mesh8, xs, gain, n_fft, step))
+    assert y.shape == x2.shape and np.all(np.isfinite(y))
+    # healed region is boosted ~10x back toward the original level
+    lo, hi = d0 + n_fft, d1 - n_fft  # interior of the healed span
+    boost = np.std(y[0, lo:hi]) / np.std(x[lo:hi])
+    assert 5.0 < boost < 15.0
+    # untouched interior stays put
+    q0, q1 = int(0.5 * sr), int(1.0 * sr)
+    np.testing.assert_allclose(y[0, q0:q1], x[q0:q1], atol=5e-3)
