@@ -78,3 +78,25 @@ def test_fuzz_wav_decoder_and_stream(tmp_path):
                 r.read(0, min(256, r.frames))
 
     _fuzz_reader(base, tmp_path, stream_opener)
+
+
+def test_fuzz_rf64_decoder_and_stream(tmp_path):
+    """Byte-fuzz the RF64/ds64 parsing paths (both decoders)."""
+    sr = 8000
+    sig = (0.1 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)).astype(np.float32)
+    base_path = tmp_path / "base_rf64.wav"
+    with audio_io.StreamWriter(base_path, sr, 1, force_rf64=True) as w:
+        w.write(sig)
+    base = base_path.read_bytes()
+
+    def opener(p):
+        audio_io.read_file(p)
+
+    _fuzz_reader(base, tmp_path, opener)
+
+    def stream_opener(p):
+        with audio_io.StreamReader(p) as r:
+            if r.frames > 0:
+                r.read(0, min(256, r.frames))
+
+    _fuzz_reader(base, tmp_path, stream_opener)
