@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["sinc_banded_pallas"]
 
 
-def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=16):
+def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=128):
     """Shared shift-MAC loop for both Pallas kernels, with the per-pass
     sin/cos evaluations replaced by plane-rotation recurrences.
 
@@ -34,8 +34,11 @@ def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=16):
     ``cos`` for the hann taper.  But per lane the sinc argument advances by
     exactly ``fc`` each pass and the hann phase by ``pi/nt``, so both are
     rotations: s' = s*cos(d) + c*sin(d), c' = c*cos(d) - s*sin(d).  Exact
-    values re-seed every ``refresh`` passes, capping fp32 drift at ~2e-6 —
-    far inside the kernel's 1e-5 parity envelope.  Near x = 0 the quotient
+    values re-seed every ``refresh`` passes; measured drift after 132
+    recurrence steps is ~8e-7 (26x inside the kernel's 2e-5 parity
+    envelope), so one seed per 128 passes bounds error for any nt/drift
+    while spending ~zero transcendentals (refresh=16 cost ~20% of the
+    kernel).  Near x = 0 the quotient
     sin(pi x)/(pi x) amplifies that drift, so |x| < 0.25 uses the Taylor
     series instead (max series error 4e-7 at the switch point).
     """
@@ -149,7 +152,7 @@ def _kernel_dma(starts_ref, sig_ref, bs_ref, rel_ref, mask_ref, offs_ref,
 @functools.partial(jax.jit, static_argnames=("max_n", "nt", "drift", "tile",
                                               "interpret", "seg_tile"))
 def sinc_banded_pallas_dma(sig, speeds, n, base_int, base_frac, max_n: int,
-                           nt: int = 50, drift: int = 32, tile: int = 8,
+                           nt: int = 50, drift: int = 32, tile: int = 16,
                            interpret: bool = False, seg_tile: int = 32768):
     """Banded sinc with in-kernel HBM->VMEM row DMA (scalar-prefetched window
     starts).  Replaces the precomputed gather buffer of
