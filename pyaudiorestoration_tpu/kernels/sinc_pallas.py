@@ -94,7 +94,10 @@ def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=128):
             valid = (jf >= -nt) & (jf < nt)
             w = jnp.where(valid, w, 0.0)
         # left-roll by v == right-roll by L - v (pltpu.roll wants shift >= 0);
-        # the used region [:max_n] never touches the circular wrap
+        # the used region [:max_n] never touches the circular wrap.  (A
+        # narrower per-128-pass-group sub-slice roll was measured SLOWER —
+        # 117.9 vs 114.3 ms on the 4-min take — and 9x slower to compile:
+        # Mosaic materializes the sliced operand per pass.)
         seg = (buf if v == 0 else pltpu.roll(buf, L - v, axis=1))[:, :max_n]
         acc = acc + seg * w
         s, c = s * cf + c * sf, c * cf - s * sf
