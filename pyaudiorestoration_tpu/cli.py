@@ -163,6 +163,13 @@ def build_parser():
     sp.add_argument("--margin", type=float, default=1.0)
     _add_fft_args(sp, 2048, 4)
 
+    sp = sub.add_parser("measure", help="quality metrics (flutter / SNR / spectral distance)")
+    sp.add_argument("input")
+    sp.add_argument("compare_to", nargs="?", default=None,
+                    help="second file for SNR / spectral distance")
+    sp.add_argument("--metric", default="all",
+                    choices=["all", "flutter", "snr", "spectral"])
+
     sp = sub.add_parser("bench", help="run the benchmark")
     return p
 
@@ -276,6 +283,10 @@ def _dispatch(args):
                 outs.extend(dropouts.process_max_mono(path, args.fft_size,
                                                       args.fft_overlap))
         print(json.dumps({"outputs": outs}))
+    elif args.cmd == "measure":
+        from .utils import metrics
+        print(json.dumps(metrics.measure_files(args.input, args.compare_to,
+                                               args.metric)))
     elif args.cmd == "difeq":
         from .pipelines import difeq
         base = args.output[:-4] if args.output.endswith(".txt") else args.output

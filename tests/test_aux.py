@@ -225,3 +225,29 @@ def test_save_spectrogram(tmp_path, rng):
                                 markers=[line])
     import os
     assert os.path.getsize(path) > 1000
+
+
+def test_metrics_flutter_and_snr(flutter):
+    from pyaudiorestoration_tpu.utils import metrics
+
+    sig, sr = flutter
+    f = metrics.flutter(sig, sr)
+    assert 0.003 < f < 0.01  # the fixture's known wow depth
+    clean = np.sin(2 * np.pi * 1000 * np.arange(sr) / sr)
+    assert metrics.flutter(clean, sr) < 1e-4
+    noisy = clean + 0.01 * np.random.default_rng(0).standard_normal(sr)
+    # sine power 0.5 over noise power 1e-4 -> ~37 dB
+    assert 36 < metrics.snr_db(clean, noisy) < 38
+    assert metrics.snr_db(clean, clean) == float("inf")
+
+
+def test_metrics_spectral_distance(flutter):
+    from pyaudiorestoration_tpu.utils import metrics
+
+    sig, sr = flutter
+    d_self = metrics.spectral_distance_db(sig, sig, sr)
+    assert d_self == 0.0
+    d_off = metrics.spectral_distance_db(sig, sig * 0.5, sr)
+    # a -6 dB level change measures ~6 dB in loud mels; the quiet-mel floor
+    # clamp pulls the mean a bit below that
+    assert 3.0 < d_off < 6.5
