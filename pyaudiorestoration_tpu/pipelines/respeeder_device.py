@@ -35,6 +35,7 @@ from ..ops.fourier import get_window
 from ..ops.resampling import _sinc_window
 
 __all__ = ["track_speed_device", "track_peaks_span", "plan_positions",
+           "restore_fused_takes",
            "sinc_padded_device", "restore_device", "compact_output",
            "restore_file_fast", "restore_file_streamed"]
 
@@ -503,6 +504,30 @@ def restore_fused_device(x, NL, NU, n_fft: int, step: int, zeropad: int,
             return jnp.stack([one(x[c]) for c in range(x.shape[0])])
         return one(x)
     return sinc_banded_device(x, speeds, n, base_int, base_frac, max_n, nt, drift)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_fft", "step", "zeropad", "max_n", "nt", "drift", "window_name",
+    "backend", "band"))
+def restore_fused_takes(xb, NLb, NUb, n_fft: int, step: int, zeropad: int,
+                        max_n: int, nt: int = 50, drift: int = 64,
+                        window_name: str = "blackmanharris",
+                        backend: str = "xla", band=None):
+    """Batch of INDEPENDENT takes in one dispatch: each row of ``xb``
+    (B, n) tracks its OWN speed curve and resamples through it.
+
+    Contrast with ``restore_fused_device``'s 2D input, where dim 0 is the
+    CHANNELS of one take sharing channel 0's curve (the reference's export
+    contract).  Here dim 0 is separate recordings — the serving shape for a
+    digitization batch on one chip, amortizing the dispatch floor the same
+    way the multi-track path does.  ``NLb``/``NUb``: (B, n_frames) per-take
+    band limits.  Returns (B, T-1, max_n) padded grids.
+    """
+    return jnp.stack([
+        restore_fused_device(xb[i], NLb[i], NUb[i], n_fft, step, zeropad,
+                             max_n, nt, drift, window_name, backend, band)
+        for i in range(xb.shape[0])
+    ])
 
 
 def _band_limits(f0_hz, tolerance_st, fft_size, zeropad, sr):

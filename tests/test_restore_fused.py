@@ -88,3 +88,36 @@ def test_banded_dft_matches_full_fft_tracking():
                                                 fft_size, hop, zp,
                                                 band=(NLv - 1, NUv + 1)))
     np.testing.assert_allclose(banded, full, atol=2e-5)
+
+
+def test_restore_fused_takes_independent_curves():
+    """Each take in the batch tracks its own curve: results equal per-take
+    single calls, and takes with different wow get different outputs."""
+    from pyaudiorestoration_tpu.pipelines import respeeder_device as rdev
+
+    sr = 8192
+    n = 4 * sr
+    n_fft, step, zp = 512, 128, 1
+    f0 = 1024.0
+    t = np.arange(n) / sr
+
+    def take(rate):
+        speed = 1.0 + 0.01 * np.sin(2 * np.pi * rate * t)
+        phase = 2 * np.pi * f0 * np.cumsum(speed) / sr
+        return np.sin(phase).astype(np.float32)
+
+    xb = jnp.asarray(np.stack([take(1.0), take(3.0)]))
+    num_bins = n_fft * zp // 2 + 1
+    f0_bin = int(round(f0 * n_fft * zp / sr))
+    n_frames = (n + (n_fft // 2) * 2 - n_fft) // step + 1
+    NL = jnp.full((2, n_frames), f0_bin - 6, jnp.int32)
+    NU = jnp.full((2, n_frames), min(num_bins - 1, f0_bin + 6), jnp.int32)
+    max_n = int(step * 1.1)
+
+    batch = np.asarray(rdev.restore_fused_takes(xb, NL, NU, n_fft, step, zp,
+                                                max_n, 8, 8))
+    for i in range(2):
+        single = np.asarray(rdev.restore_fused_device(
+            xb[i], NL[i], NU[i], n_fft, step, zp, max_n, 8, 8))
+        np.testing.assert_allclose(batch[i], single, atol=1e-6)
+    assert not np.allclose(batch[0], batch[1], atol=1e-3)
