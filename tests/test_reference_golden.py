@@ -448,3 +448,29 @@ def test_units_golden(rng):
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(units.to_Hz(units.to_mel(f))), f,
                                rtol=1e-5)
+
+
+def test_fourier_helpers_golden(ref_fourier, rng):
+    """pad_center / fix_length / window_sumsquare vs the reference's
+    executed versions (fourier.py:236-277, 440-546)."""
+    from pyaudiorestoration_tpu.ops import fourier
+
+    w = rng.standard_normal(48).astype(np.float32)
+    np.testing.assert_allclose(fourier.pad_center(w, 64),
+                               ref_fourier.pad_center(w, 64), atol=0)
+    x = rng.standard_normal(100).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(fourier.fix_length(x, 80)),
+                               ref_fourier.fix_length(x, 80), atol=0)
+    np.testing.assert_allclose(np.asarray(fourier.fix_length(x, 130)),
+                               ref_fourier.fix_length(x, 130), atol=0)
+    ws = fourier.window_sumsquare("hann", 20, hop_length=128, n_fft=512)
+    ref_ws = ref_fourier.window_sumsquare("hann", 20, hop_length=128, n_fft=512)
+    np.testing.assert_allclose(np.asarray(ws), ref_ws, atol=1e-6)
+
+
+def test_pitch_golden():
+    ref_units = reference_shim.load("units")
+    from pyaudiorestoration_tpu.ops import units
+
+    for f in (27.5, 440.0, 466.16, 1234.5, 4186.0):
+        assert units.pitch(f) == ref_units.pitch(f)
