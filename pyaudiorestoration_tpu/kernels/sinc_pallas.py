@@ -117,7 +117,7 @@ def _kernel_dma(starts_ref, sig_ref, bs_ref, rel_ref, mask_ref, offs_ref,
     shift-MAC loop runs on the VMEM-resident buffer.
 
     Window starts are 128-aligned for Mosaic; the residual per-row offset
-    (0..127) is removed by a 7-stage binary roll-alignment network.
+    (0..1023) is removed by a 10-stage binary roll-alignment network.
     """
     U = nt + drift
     i = pl.program_id(0)
