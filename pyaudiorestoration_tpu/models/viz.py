@@ -159,7 +159,7 @@ def compare_spectrograms(mag_a, mag_b, sr, hop, offset_b=0.0, ax=None,
             f"both spectrograms must share fft settings: {a.shape[0]} vs "
             f"{b.shape[0]} frequency bins")
     off_frames = int(round(offset_b * sr / hop))
-    n_bins = max(a.shape[0], b.shape[0])
+    n_bins = a.shape[0]  # == b.shape[0] per the guard above
     n_frames = max(a.shape[1], b.shape[1] + max(0, off_frames)) - min(0, off_frames)
     rgb = np.zeros((n_bins, n_frames, 3), np.float32)
     a0 = max(0, -off_frames)

@@ -425,7 +425,9 @@ bool decode_wav(const uint8_t* buf, size_t n, AudioData& out) {
     pos += 8;
     if (memcmp(chunk_id, "data", 4) == 0 && chunk_len == 0xFFFFFFFFull && rf64)
       chunk_len = ds64_data;
-    if (pos + chunk_len > n) chunk_len = (uint64_t)(n - pos);
+    // compare against the remaining bytes, NOT pos + chunk_len (a near-max
+    // attacker-controlled 64-bit ds64 size would wrap the addition past n)
+    if (chunk_len > (uint64_t)(n - pos)) chunk_len = (uint64_t)(n - pos);
     if (memcmp(chunk_id, "ds64", 4) == 0 && chunk_len >= 16) {
       ds64_data = rd_u64(buf + pos + 8);
     } else if (memcmp(chunk_id, "fmt ", 4) == 0 && chunk_len >= 16) {
@@ -586,6 +588,13 @@ bool open_wav_stream(const char* path, StreamReader& s) {
       s.data_offset = ftell(f);
       size_t bytes_per = s.bits / 8;
       if (!bytes_per || !s.channels) break;
+      // clamp to the bytes actually present (a truncated transfer or bogus
+      // ds64 size must not promise unreadable frames)
+      fseek(f, 0, SEEK_END);
+      long fsz = ftell(f);
+      fseek(f, s.data_offset, SEEK_SET);
+      if (fsz > s.data_offset && len > (uint64_t)(fsz - s.data_offset))
+        len = (uint64_t)(fsz - s.data_offset);
       s.frames = (int64_t)(len / (bytes_per * s.channels));
       s.file = f;
       return true;

@@ -204,11 +204,13 @@ def renoise_sharded(mesh: Mesh, x, profile, gain: float, n_fft: int = 1024,
     shard-local between the two halo-exchanging transforms; ``profile`` is a
     (n_freqs,) dB threshold curve replicated to every device.
     """
+    from ..pipelines.renoiser import _mask_fac
+
     spec = stft_sharded(mesh, x, n_fft, step, window_name)
     mag_db = 20.0 * jnp.log10(jnp.abs(spec) + 1e-7)
-    thresh = jnp.asarray(profile, jnp.float32)[None, :, None]
-    fac = jnp.where(mag_db > thresh, 1.0,
-                    jnp.power(10.0, jnp.float32(gain) / 20.0))
+    # the canonical mask (same code as the dense tier, so the tiers cannot
+    # drift); _mask_fac's profile[:, None] broadcasts over (files, F, T)
+    fac = _mask_fac(mag_db, jnp.asarray(profile, jnp.float32), float(gain))
     return istft_sharded(mesh, spec * fac, n_fft, step, window_name)
 
 

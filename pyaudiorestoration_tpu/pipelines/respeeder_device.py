@@ -455,6 +455,12 @@ def restore_fused_device(x, NL, NU, n_fft: int, step: int, zeropad: int,
     mono = x[0] if x.ndim == 2 else x
     speeds = track_speed_device(mono, NL, NU, n_fft, step, zeropad, window_name,
                                 band=band)
+    # enforce the banded-sinc drift contract (|anchor - k| <= drift requires
+    # |1/speed - 1| <= (drift-2)/max_n): a take whose wow exceeds what the
+    # static ``drift`` budgets gets a clipped curve (graceful bounded-speed
+    # degradation) instead of out-of-window taps
+    d_bound = min(0.9, max(drift - 2, 1) / max_n)
+    speeds = jnp.clip(speeds, 1.0 / (1.0 + d_bound), 1.0 / (1.0 - d_bound))
     s_lo, s_hi = speeds[:-1], speeds[1:]
     n_raw = step * (s_lo + s_hi) / 2.0
 
@@ -522,6 +528,11 @@ def restore_fused_takes(xb, NLb, NUb, n_fft: int, step: int, zeropad: int,
     digitization batch on one chip, amortizing the dispatch floor the same
     way the multi-track path does.  ``NLb``/``NUb``: (B, n_frames) per-take
     band limits.  Returns (B, T-1, max_n) padded grids.
+
+    The batch unrolls statically (pallas_call has no vmap batching rule), so
+    trace/compile time grows with B and each new B recompiles — size the
+    batch for steady-state reuse (B=4 compiles in ~10 s on v5e; per-take
+    device cost is flat).
     """
     return jnp.stack([
         restore_fused_device(xb[i], NLb[i], NUb[i], n_fft, step, zeropad,

@@ -34,7 +34,10 @@ def flutter(signal, sr, smooth_periods: int = 32):
     k = smooth_periods
     avg_period = (crossings[2 * k:] - crossings[:-2 * k]) / k
     freq = 2 * sr / avg_period
-    core = freq[len(freq) // 10: -len(freq) // 10]
+    trim = max(1, len(freq) // 10)  # // 10 can be 0, and freq[0:-0] is empty
+    if len(freq) <= 2 * trim:
+        raise ValueError("not enough zero crossings for a flutter estimate")
+    core = freq[trim:-trim]
     return float(np.std(core) / np.mean(core))
 
 
@@ -86,6 +89,8 @@ def measure_files(path_a, path_b=None, metric: str = "all"):
     """
     from . import audio_io
 
+    if metric in ("snr", "spectral") and path_b is None:
+        raise ValueError(f"metric '{metric}' needs a second file to compare to")
     a, sr, _ = audio_io.read_file(path_a)
     out = {}
     if metric in ("all", "flutter"):
@@ -98,7 +103,10 @@ def measure_files(path_a, path_b=None, metric: str = "all"):
         if sr_b != sr:
             raise ValueError("sample rates differ")
         if metric in ("all", "snr"):
-            out["snr_db"] = round(snr_db(a[:, 0], b[:, 0]), 2)
+            s = snr_db(a[:, 0], b[:, 0])
+            # keep the CLI's JSON strict (json.dumps would emit the
+            # non-standard `Infinity` token for identical files)
+            out["snr_db"] = None if np.isinf(s) else round(s, 2)
         if metric in ("all", "spectral"):
             out["spectral_distance_db"] = round(
                 spectral_distance_db(a, b, sr), 3)

@@ -100,3 +100,28 @@ def test_fuzz_rf64_decoder_and_stream(tmp_path):
                 r.read(0, min(256, r.frames))
 
     _fuzz_reader(base, tmp_path, stream_opener)
+
+
+def test_crafted_rf64_huge_ds64_size(tmp_path):
+    """A near-max 64-bit ds64 data size must not bypass the bounds clamp via
+    uint64 wraparound (pos + SIZE_MAX wraps past the buffer length) in either
+    decoder."""
+    sr = 8000
+    sig = (0.1 * np.sin(2 * np.pi * 440 * np.arange(1024) / sr)).astype(np.float32)
+    base_path = tmp_path / "huge.wav"
+    with audio_io.StreamWriter(base_path, sr, 1, force_rf64=True) as w:
+        w.write(sig)
+    raw = bytearray(base_path.read_bytes())
+    # ds64 payload starts at 20: riff(8) data(8) frames(8); poison the sizes
+    for off in (20, 28, 36):
+        raw[off:off + 8] = (0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(bytes(raw))
+    # in-memory decode clamps to the real bytes
+    data, sr2, ch = audio_io.read_file(str(bad))
+    assert sr2 == sr and ch == 1 and len(data) == len(sig)
+    np.testing.assert_array_equal(data[:, 0], sig)
+    # streaming reader clamps frames to the file size
+    r = audio_io.StreamReader(str(bad))
+    assert r.frames == len(sig)
+    np.testing.assert_array_equal(r.read(0, r.frames)[:, 0], sig)
