@@ -474,3 +474,35 @@ def test_pitch_golden():
 
     for f in (27.5, 440.0, 466.16, 1234.5, 4186.0):
         assert units.pitch(f) == ref_units.pitch(f)
+
+
+def test_resampling_run_lag_curve_golden(ref_resampling, tmp_path):
+    """The tapesynch export path: run() with a lag curve — interp positions,
+    find_cutoff trim, >=0 clip (resampling.py:189-206) — vs ours."""
+    from pyaudiorestoration_tpu.ops import resampling
+    from pyaudiorestoration_tpu.utils import audio_io
+
+    n = 2 * SR
+    t = np.arange(n) / SR
+    sig = np.stack([np.sin(2 * np.pi * 330 * t),
+                    np.sin(2 * np.pi * 550 * t)], axis=1).astype(np.float32)
+    d_ref = tmp_path / "ref"
+    d_our = tmp_path / "ours"
+    d_ref.mkdir()
+    d_our.mkdir()
+    f_ref = str(d_ref / "src.wav")
+    f_our = str(d_our / "src.wav")
+    audio_io.write_wav(f_ref, sig, SR)
+    audio_io.write_wav(f_our, sig, SR)
+    # drifting lag: source runs ahead by up to ~23 ms
+    lag_curve = np.stack([np.linspace(0, 2.0, 12),
+                          np.linspace(0.0, -0.023, 12)], axis=1)
+    ref_resampling.run([f_ref], lag_curve=lag_curve, resampling_mode="Sinc",
+                       sinc_quality=16)
+    resampling.run([f_our], lag_curve=lag_curve, resampling_mode="Sinc",
+                   sinc_quality=16)
+    g, sr_a, _ = audio_io.read_file(str(d_ref / "src_res.wav"))
+    o, sr_b, _ = audio_io.read_file(str(d_our / "src_res.wav"))
+    assert sr_a == sr_b == SR
+    assert g.shape == o.shape
+    np.testing.assert_allclose(o[16:-16], g[16:-16], atol=2e-4)

@@ -23,7 +23,8 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def test_respeeder_workflow_golden(tmp_path, samples_dir):
+@pytest.mark.parametrize("mode,min_reduction", [("Peak", 2.0), ("Center of Gravity", 1.7)])
+def test_respeeder_workflow_golden(tmp_path, samples_dir, mode, min_reduction):
     ref_fourier = reference_shim.load("fourier")
     ref_wow = reference_shim.load("wow_detection")
     ref_markers = reference_shim.load("markers")
@@ -54,8 +55,8 @@ def test_respeeder_workflow_golden(tmp_path, samples_dir):
     # --- reference chain, executed ---
     spectrum = np.asarray(ref_fourier.get_mag(sig[:, 0], fft_size, hop,
                                               "blackmanharris"))
-    track = ref_wow.wow_detectors["Peak"](spectrum, sig, list(trail),
-                                          fft_size, hop, sr, tolerance_st=1.0)
+    track = ref_wow.wow_detectors[mode](spectrum, sig, list(trail),
+                                        fft_size, hop, sr, tolerance_st=1.0)
     canvas = types.SimpleNamespace(
         markers=[], views=[], lines=[], duration=duration, sr=sr, hop=hop,
         spectra=[types.SimpleNamespace(mel_transform=None)],
@@ -69,12 +70,12 @@ def test_respeeder_workflow_golden(tmp_path, samples_dir):
                        sinc_quality=quality)
 
     # --- our chain ---
-    o_line = respeeder.trace_trail(sig, sr, list(trail), "Peak", fft_size,
+    o_line = respeeder.trace_trail(sig, sr, list(trail), mode, fft_size,
                                    overlap, tolerance=1.0)
     o_curve = respeeder.get_speed_curve([o_line], [], sr, hop, duration, bands)
     np.testing.assert_allclose(o_curve[:, 0], g_curve[:, 0], rtol=1e-9)
     np.testing.assert_allclose(o_curve[:, 1], g_curve[:, 1], rtol=3e-5)
-    respeeder.restore_file(f_our, mode="Peak", fft_size=fft_size,
+    respeeder.restore_file(f_our, mode=mode, fft_size=fft_size,
                            fft_overlap=overlap, tolerance=1.0,
                            trail=list(trail), sinc_quality=quality,
                            bands=bands)
@@ -102,6 +103,7 @@ def test_respeeder_workflow_golden(tmp_path, samples_dir):
     before = flutter_of(sig[:, 0].astype(float))
     g_after = flutter_of(g_out[:, 0].astype(float))
     o_after = flutter_of(o_out[:, 0].astype(float))
-    assert before / g_after > 2.0
-    assert before / o_after > 2.0
+    # CoG's hann-weighted center tracks slightly softer than Peak here
+    assert before / g_after > min_reduction
+    assert before / o_after > min_reduction
     assert o_after == pytest.approx(g_after, rel=0.1)
