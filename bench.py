@@ -76,7 +76,7 @@ def main():
 
     run()  # compile
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
