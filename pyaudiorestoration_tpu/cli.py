@@ -178,6 +178,9 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.DEBUG if args.verbose else logging.INFO,
                         format="%(levelname)s | %(message)s")
+    from .utils.device import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()  # minutes-long kernel compiles: 1x/machine
     try:
         return _dispatch(args)
     except (OSError, ValueError) as e:

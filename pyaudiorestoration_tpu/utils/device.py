@@ -10,7 +10,37 @@ from __future__ import annotations
 import contextlib
 import logging
 
-__all__ = ["best_device", "device_kind", "profile_trace"]
+__all__ = ["best_device", "device_kind", "profile_trace",
+           "enable_persistent_compile_cache"]
+
+
+def enable_persistent_compile_cache(cache_dir=None):
+    """Turn on JAX's on-disk compilation cache (idempotent).
+
+    The fused restoration kernels unroll ~130 Pallas passes and take minutes
+    to compile cold; the persistent cache makes that a one-time cost per
+    machine instead of per process.  Called by the CLI entry point; library
+    users can call it themselves.  Failures (read-only filesystems, old jax)
+    downgrade to a debug log.  (On relay-style backends that compile on the
+    server this is a no-op; on standard PJRT TPU/CPU runtimes cached
+    executables reload in seconds.)
+    """
+    import os
+
+    import jax
+
+    try:
+        if cache_dir is None:
+            cache_dir = os.path.join(
+                os.environ.get("XDG_CACHE_HOME",
+                               os.path.expanduser("~/.cache")),
+                "pyaudiorestoration_tpu", "xla")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache everything that took noticeable compile time
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        logging.debug("persistent compile cache unavailable", exc_info=True)
 
 
 def best_device():
