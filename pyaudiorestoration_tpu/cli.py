@@ -163,6 +163,15 @@ def build_parser():
     sp.add_argument("--margin", type=float, default=1.0)
     _add_fft_args(sp, 2048, 4)
 
+    sp = sub.add_parser("view", help="interactive HTML spectrogram viewer")
+    sp.add_argument("input")
+    sp.add_argument("-o", "--output", default=None, help="output .html (default <input>.html)")
+    _add_fft_args(sp, 1024, 4)
+    sp.add_argument("--channel", type=int, default=0)
+    sp.add_argument("--cmap", default="izo")
+    sp.add_argument("--trail", type=float, nargs="+", default=None,
+                    metavar="T F", help="overlay a traced Peak curve from this trail")
+
     sp = sub.add_parser("measure", help="quality metrics (flutter / SNR / spectral distance)")
     sp.add_argument("input")
     sp.add_argument("compare_to", nargs="?", default=None,
@@ -286,6 +295,28 @@ def _dispatch(args):
                 outs.extend(dropouts.process_max_mono(path, args.fft_size,
                                                       args.fft_overlap))
         print(json.dumps({"outputs": outs}))
+    elif args.cmd == "view":
+        import numpy as np
+        from .models import viz_html
+        from .ops import fourier
+        from .utils import audio_io
+        sig, sr, _ch = audio_io.read_file(args.input)
+        hop = args.fft_size // args.fft_overlap
+        mag = np.asarray(fourier.get_mag(sig[:, args.channel], args.fft_size,
+                                         hop, zeropad=args.zeropad))
+        markers = []
+        if args.trail:
+            from .models import trackers
+            pts = list(zip(args.trail[::2], args.trail[1::2]))
+            times, freqs = trackers.trace("Peak", mag, sig, pts,
+                                          args.fft_size * args.zeropad, hop, sr)
+            markers.append({"t": list(times), "f": list(freqs)})
+        out = args.output or (args.input.rsplit(".", 1)[0] + ".html")
+        import os as _os
+        viz_html.save_interactive_html(out, mag, sr, hop, markers=markers,
+                                       title=_os.path.basename(args.input),
+                                       cmap=args.cmap)
+        print(json.dumps({"outputs": [out]}))
     elif args.cmd == "measure":
         from .utils import metrics
         print(json.dumps(metrics.measure_files(args.input, args.compare_to,

@@ -123,3 +123,45 @@ def test_freq_and_time_tick_helpers():
     assert fmt(0.25, 0) == "0:00.25"
     assert fmt(120.0, 0) == "2:00"
     plt.close(fig)
+
+
+def test_interactive_html_viewer(tmp_path, flutter):
+    """The self-contained viewer embeds a valid PNG of the mel spectrogram,
+    the geometry metadata, and the marker polylines."""
+    import base64
+    import json
+    import re
+    import struct
+    import zlib
+
+    from pyaudiorestoration_tpu.models import viz_html
+    from pyaudiorestoration_tpu.ops import fourier
+
+    sig, sr = flutter
+    fft_size, hop = 1024, 256
+    mag = np.asarray(fourier.get_mag(sig[:, 0], fft_size, hop))
+    out = str(tmp_path / "v.html")
+    viz_html.save_interactive_html(
+        out, mag, sr, hop,
+        markers=[{"t": [0.5, 1.0], "f": [2000.0, 2100.0], "color": "#0f0"}],
+        title="take")
+    html = open(out, encoding="utf-8").read()
+    assert "<canvas" in html and "wheel" in html and "mousemove" in html
+
+    meta = json.loads(re.search(r"const META = (\{.*?\});", html).group(1))
+    assert meta["w"] == mag.shape[1]
+    assert meta["duration"] == pytest.approx(mag.shape[1] * hop / sr)
+    assert meta["fmax"] == sr / 2
+
+    markers = json.loads(re.search(r"const MARKERS = (\[.*?\]);", html).group(1))
+    assert markers[0]["f"] == [2000.0, 2100.0]
+
+    png = base64.b64decode(re.search(r'base64,([A-Za-z0-9+/=]+)"', html).group(1))
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", png[16:24])
+    assert (w, h) == (meta["w"], meta["h"])
+    # IDAT decompresses to h scanlines of 1 filter byte + w*3 pixels
+    idat_off = png.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", png[idat_off - 8:idat_off - 4])[0]
+    raw = zlib.decompress(png[idat_off:idat_off + idat_len])
+    assert len(raw) == h * (1 + w * 3)
