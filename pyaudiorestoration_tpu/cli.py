@@ -82,9 +82,10 @@ def build_parser():
     sp.add_argument("--suffix", default="")
     sp.add_argument("--save-project", action="store_true",
                     help="write lag markers to <source>.tapesync (GUI Save parity)")
-    sp.add_argument("--compare", metavar="PNG",
+    sp.add_argument("--compare", metavar="PNG_OR_HTML",
                     help="write a red/green overlay of reference vs aligned "
-                         "output (the GUI's 2-source compare view)")
+                         "output (the GUI's 2-source compare view); a .html "
+                         "target gets the interactive pan/zoom viewer")
 
     sp = sub.add_parser("heal", help="dropout healing (dropout_healer)")
     sp.add_argument("input")
@@ -254,8 +255,13 @@ def _dispatch(args):
             fft, hop = 1024, 256
             mag_a = np.asarray(fourier.get_mag(ref_sig[:, 0], fft, hop))
             mag_b = np.asarray(fourier.get_mag(out_sig[:, 0], fft, hop))
-            out["compare"] = viz.save_comparison(args.compare, mag_a, mag_b,
-                                                 sr, hop)
+            if args.compare.endswith(".html"):
+                from .models import viz_html
+                out["compare"] = viz_html.save_interactive_compare_html(
+                    args.compare, mag_a, mag_b, sr, hop)
+            else:
+                out["compare"] = viz.save_comparison(args.compare, mag_a,
+                                                     mag_b, sr, hop)
         print(json.dumps(out))
     elif args.cmd == "heal":
         from .pipelines import dropouts

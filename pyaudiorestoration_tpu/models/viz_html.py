@@ -26,7 +26,7 @@ import numpy as np
 
 from ..ops import units
 
-__all__ = ["save_interactive_html"]
+__all__ = ["save_interactive_html", "save_interactive_compare_html"]
 
 _PAGE = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>{title}</title><style>
@@ -162,6 +162,51 @@ def save_interactive_html(path, mag, sr, hop, markers=(), title="spectrogram",
            "color": m.get("color", "#ff5050")} for m in markers]
     html = _PAGE.format(title=title, meta=json.dumps(meta),
                         markers=json.dumps(mk), png=_png_b64(rgb))
+    with io.open(path, "w", encoding="utf-8") as f:
+        f.write(html)
+    return path
+
+
+def save_interactive_compare_html(path, mag_a, mag_b, sr, hop, offset_b=0.0,
+                                  title="compare", vmin=-120, vmax=0,
+                                  fmin=20.0, max_rows=1024):
+    """Interactive red/green 2-source overlay (the tapesynch alignment
+    check, spectrum.py:15-31): source A -> red, source B (shifted by
+    ``offset_b`` seconds) -> green; aligned content fuses to yellow.  Same
+    pan/zoom/readout page as ``save_interactive_html``."""
+    mag_a = np.asarray(mag_a)
+    mag_b = np.asarray(mag_b)
+    if mag_a.shape[0] != mag_b.shape[0]:
+        raise ValueError("both spectrograms must share fft settings")
+
+    def norm(m):
+        return np.clip((20.0 * np.log10(m + 1e-7) - vmin) / (vmax - vmin),
+                       0.0, 1.0)
+
+    a, b = norm(mag_a), norm(mag_b)
+    off = int(round(offset_b * sr / hop))
+    n_frames = max(a.shape[1], b.shape[1] + max(0, off)) - min(0, off)
+    n_bins = a.shape[0]
+    rgbf = np.zeros((n_bins, n_frames, 3), np.float32)
+    a0 = max(0, -off)
+    rgbf[:, a0:a0 + a.shape[1], 0] = a
+    b0 = max(0, off)
+    rgbf[:, b0:b0 + b.shape[1], 1] = b
+
+    # mel row remap (top = f_max), same as the mono viewer
+    n_fft = 2 * (n_bins - 1)
+    freqs = np.arange(n_bins) / n_fft * sr
+    h = min(max_rows, n_bins)
+    mel_grid = np.linspace(float(units.to_mel(sr / 2)),
+                           float(units.to_mel(fmin)), h)
+    rows = np.clip(np.searchsorted(freqs, np.asarray(units.to_Hz(mel_grid))),
+                   0, n_bins - 1)
+    rgb = (rgbf[rows] * 255).astype(np.uint8)
+
+    meta = {"w": n_frames, "h": h, "duration": n_frames * hop / sr,
+            "fmin": fmin, "fmax": sr / 2}
+    html = _PAGE.format(title=title, meta=json.dumps(meta), markers="[]",
+                        png=_png_b64(rgb))
     with io.open(path, "w", encoding="utf-8") as f:
         f.write(html)
     return path

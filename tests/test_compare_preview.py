@@ -165,3 +165,23 @@ def test_interactive_html_viewer(tmp_path, flutter):
     idat_len = struct.unpack(">I", png[idat_off - 8:idat_off - 4])[0]
     raw = zlib.decompress(png[idat_off:idat_off + idat_len])
     assert len(raw) == h * (1 + w * 3)
+
+
+def test_interactive_compare_html(tmp_path, flutter):
+    import json
+    import re
+
+    from pyaudiorestoration_tpu.models import viz_html
+    from pyaudiorestoration_tpu.ops import fourier
+
+    sig, sr = flutter
+    mag = np.asarray(fourier.get_mag(sig[:, 0], 1024, 256))
+    out = str(tmp_path / "cmp.html")
+    viz_html.save_interactive_compare_html(out, mag, mag, sr, 256,
+                                           offset_b=0.1)
+    html = open(out, encoding="utf-8").read()
+    meta = json.loads(re.search(r"const META = (\{.*?\});", html).group(1))
+    off = round(0.1 * sr / 256)
+    assert meta["w"] == mag.shape[1] + off
+    with pytest.raises(ValueError):
+        viz_html.save_interactive_compare_html(out, mag, mag[:-1], sr, 256)
