@@ -74,7 +74,9 @@ def main():
         # no-op through this environment's device relay)
         return float(jnp.sum(padded))
 
+    t0 = time.perf_counter()
     run()  # compile
+    cold = time.perf_counter() - t0
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
@@ -82,11 +84,17 @@ def main():
         times.append(time.perf_counter() - t0)
     wall = min(times)
     rtf = audio_seconds / wall
+    # the relay floor varies run to run (measured 550-600x); the headline is
+    # min-of-5 warm, and the full runs array + cold (compile-inclusive) wall
+    # ride along so BENCH_r*.json carries its own variance context
     print(json.dumps({
         "metric": "192kHz stereo flutter-correction realtime factor (1 chip, device-resident)",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 100.0, 3),
+        "runs_x_realtime": [round(audio_seconds / t, 1) for t in times],
+        "wall_cold_s": round(cold, 3),
+        "audio_s": round(audio_seconds, 2),
     }))
 
 

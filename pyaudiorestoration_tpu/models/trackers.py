@@ -30,7 +30,6 @@ import logging
 import jax
 import jax.numpy as jnp
 import numpy as np
-import scipy.interpolate
 from scipy.signal import get_window
 
 from ..ops import filters

@@ -160,7 +160,9 @@ def save_interactive_html(path, mag, sr, hop, markers=(), title="spectrogram",
             "fmin": fmin, "fmax": sr / 2}
     mk = [{"t": list(map(float, m["t"])), "f": list(map(float, m["f"])),
            "color": m.get("color", "#ff5050")} for m in markers]
-    html = _PAGE.format(title=title, meta=json.dumps(meta),
+    import html as _html
+
+    html = _PAGE.format(title=_html.escape(str(title)), meta=json.dumps(meta),
                         markers=json.dumps(mk), png=_png_b64(rgb))
     with io.open(path, "w", encoding="utf-8") as f:
         f.write(html)
@@ -205,8 +207,10 @@ def save_interactive_compare_html(path, mag_a, mag_b, sr, hop, offset_b=0.0,
 
     meta = {"w": n_frames, "h": h, "duration": n_frames * hop / sr,
             "fmin": fmin, "fmax": sr / 2}
-    html = _PAGE.format(title=title, meta=json.dumps(meta), markers="[]",
-                        png=_png_b64(rgb))
+    import html as _html
+
+    html = _PAGE.format(title=_html.escape(str(title)), meta=json.dumps(meta),
+                        markers="[]", png=_png_b64(rgb))
     with io.open(path, "w", encoding="utf-8") as f:
         f.write(html)
     return path

@@ -15,6 +15,16 @@
 #include <string>
 #include <vector>
 
+// 64-bit-clean file positioning: plain fseek/ftell take a 32-bit long on
+// LLP64 (Windows), truncating offsets in >2 GiB RF64/WAV files.
+#if defined(_WIN32)
+#define FSEEK64(f, off, whence) _fseeki64((f), (long long)(off), (whence))
+#define FTELL64(f) _ftelli64(f)
+#else
+#define FSEEK64(f, off, whence) fseeko((f), (off_t)(off), (whence))
+#define FTELL64(f) ftello(f)
+#endif
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -491,9 +501,9 @@ bool decode_wav(const uint8_t* buf, size_t n, AudioData& out) {
 bool read_whole_file(const char* path, std::vector<uint8_t>& buf) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
-  fseek(f, 0, SEEK_END);
-  long sz = ftell(f);
-  fseek(f, 0, SEEK_SET);
+  FSEEK64(f, 0, SEEK_END);
+  int64_t sz = FTELL64(f);
+  FSEEK64(f, 0, SEEK_SET);
   if (sz <= 0) {
     fclose(f);
     return false;
@@ -532,7 +542,7 @@ namespace {
 // ---------------------------------------------------------------------------
 struct StreamReader {
   FILE* file = nullptr;       // open for WAV streaming
-  long data_offset = 0;       // byte offset of sample data
+  int64_t data_offset = 0;    // byte offset of sample data
   uint16_t fmt = 0;           // 1 = PCM, 3 = float
   uint16_t bits = 0;
   int sample_rate = 0;
@@ -567,12 +577,12 @@ bool open_wav_stream(const char* path, StreamReader& s) {
       uint8_t body[16];
       if (fread(body, 1, 16, f) != 16) break;
       ds64_data = rd_u64(body + 8);
-      fseek(f, (long)(len - 16 + (len & 1)), SEEK_CUR);
+      FSEEK64(f, len - 16 + (len & 1), SEEK_CUR);
     } else if (memcmp(chunk, "fmt ", 4) == 0) {
       // Mirror decode_wav: a fmt chunk shorter than the 16 fixed bytes would
       // make body.data() null / under-sized for the field reads below.
       if (len < 16) {
-        fseek(f, (long)(len + (len & 1)), SEEK_CUR);
+        FSEEK64(f, len + (len & 1), SEEK_CUR);
         continue;
       }
       std::vector<uint8_t> body((size_t)len);
@@ -582,24 +592,24 @@ bool open_wav_stream(const char* path, StreamReader& s) {
       s.sample_rate = (int)rd_u32(body.data() + 4);
       s.bits = rd_u16(body.data() + 14);
       if (s.fmt == 0xFFFE && len >= 40) s.fmt = rd_u16(body.data() + 24);
-      if (len & 1) fseek(f, 1, SEEK_CUR);
+      if (len & 1) FSEEK64(f, 1, SEEK_CUR);
     } else if (memcmp(chunk, "data", 4) == 0) {
       if (len == 0xFFFFFFFFull && rf64) len = ds64_data;
-      s.data_offset = ftell(f);
+      s.data_offset = FTELL64(f);
       size_t bytes_per = s.bits / 8;
       if (!bytes_per || !s.channels) break;
       // clamp to the bytes actually present (a truncated transfer or bogus
       // ds64 size must not promise unreadable frames)
-      fseek(f, 0, SEEK_END);
-      long fsz = ftell(f);
-      fseek(f, s.data_offset, SEEK_SET);
+      FSEEK64(f, 0, SEEK_END);
+      int64_t fsz = FTELL64(f);
+      FSEEK64(f, s.data_offset, SEEK_SET);
       if (fsz > s.data_offset && len > (uint64_t)(fsz - s.data_offset))
         len = (uint64_t)(fsz - s.data_offset);
       s.frames = (int64_t)(len / (bytes_per * s.channels));
       s.file = f;
       return true;
     } else {
-      fseek(f, (long)(len + (len & 1)), SEEK_CUR);
+      FSEEK64(f, len + (len & 1), SEEK_CUR);
     }
   }
   fclose(f);
@@ -615,7 +625,7 @@ int stream_read_block(StreamReader& s, int64_t start, int64_t count, float* out)
   }
   size_t bytes_per = s.bits / 8;
   size_t stride = bytes_per * s.channels;
-  if (fseek(s.file, (long)(s.data_offset + (int64_t)start * stride), SEEK_SET))
+  if (FSEEK64(s.file, s.data_offset + (int64_t)start * (int64_t)stride, SEEK_SET))
     return -1;
   std::vector<uint8_t> raw((size_t)count * stride);
   if (fread(raw.data(), 1, raw.size(), s.file) != raw.size()) return -1;

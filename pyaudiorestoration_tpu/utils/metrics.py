@@ -32,8 +32,9 @@ def flutter(signal, sr, smooth_periods: int = 32):
     frac = x[idx] / (x[idx] - x[idx + 1])
     crossings = idx + frac
     k = smooth_periods
+    # crossings are half-periods, so a 2k-crossing span is k full periods
     avg_period = (crossings[2 * k:] - crossings[:-2 * k]) / k
-    freq = 2 * sr / avg_period
+    freq = sr / avg_period
     trim = max(1, len(freq) // 10)  # // 10 can be 0, and freq[0:-0] is empty
     if len(freq) <= 2 * trim:
         raise ValueError("not enough zero crossings for a flutter estimate")

@@ -39,7 +39,7 @@ def tone_stability(sig, sr, smooth_periods=32):
     cr = idx + frac
     k = smooth_periods
     avg = (cr[2 * k:] - cr[:-2 * k]) / k
-    fr = 2 * sr / avg
+    fr = sr / avg  # crossings are half-periods; 2k crossings = k periods
     core = fr[len(fr) // 10: -len(fr) // 10]
     return float(np.std(core) / np.mean(core))
 
@@ -57,7 +57,9 @@ def main(out_dir="baseline_runs"):
         def wrap(fn):
             # cold run includes XLA compilation (one-time per shape); the
             # warm second run is the steady-state cost a batch deployment
-            # pays per file
+            # pays per file.  NOTE: fn() executes TWICE, so stage bodies must
+            # be idempotent -- any files they write are overwritten by the
+            # warm pass (fine for these pure file-to-file pipelines)
             t0 = time.perf_counter()
             res = fn()
             cold = time.perf_counter() - t0

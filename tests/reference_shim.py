@@ -13,6 +13,12 @@ code (wow_detection.py, fourier.py, resampling.py, decompose.py, ...).
 
 Everything degrades to a pytest skip when the reference tree is absent, so
 the suite stays green for standalone users of this repo.
+
+SECURITY: importing the reference executes its Python code in the test
+process.  That is intentional and acceptable ONLY inside this sandboxed CI
+image where /root/reference is a fixed read-only checkout; do not point
+REFERENCE_DIR at an unreviewed tree, and pin/verify the checkout revision
+before running the golden suite elsewhere.
 """
 
 from __future__ import annotations
