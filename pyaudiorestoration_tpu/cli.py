@@ -96,6 +96,8 @@ def build_parser():
     sp.add_argument("--sensitivity", type=float, default=5.0)
     _add_fft_args(sp, 512, 16)
     sp.add_argument("--suffix", default="")
+    sp.add_argument("--stream", action="store_true",
+                    help="force the blockwise larger-than-memory path")
 
     sp = sub.add_parser("dropouts-batch", help="batch heuristic dropout repair")
     sp.add_argument("inputs", nargs="+")
@@ -156,6 +158,9 @@ def build_parser():
                     help="write a before/after masked-spectrogram image via "
                          "the re-mask-only fast path (no audio output)")
     _add_fft_args(sp, 1024, 4)
+    sp.add_argument("--stream", action="store_true",
+                    help="force the blockwise larger-than-memory path")
+
 
     sp = sub.add_parser("hpss", help="harmonic/percussive separation")
     sp.add_argument("inputs", nargs="+")
@@ -163,6 +168,9 @@ def build_parser():
     sp.add_argument("--power", type=float, default=2.0)
     sp.add_argument("--margin", type=float, default=1.0)
     _add_fft_args(sp, 2048, 4)
+    sp.add_argument("--stream", action="store_true",
+                    help="force the blockwise larger-than-memory path")
+
 
     sp = sub.add_parser("view", help="interactive HTML spectrogram viewer")
     sp.add_argument("input")
@@ -284,7 +292,8 @@ def _dispatch(args):
                                              t0, t1, f0, f1, args.width_ms,
                                              args.sensitivity)
         out = dropouts.heal_file(args.input, drops, fft_size, overlap,
-                                 suffix=args.suffix)
+                                 suffix=args.suffix,
+                                 stream=True if args.stream else "auto")
         print(json.dumps({"outputs": [out], "num_dropouts": len(drops)}))
     elif args.cmd == "dropouts-batch":
         from .pipelines import dropouts
@@ -296,7 +305,8 @@ def _dispatch(args):
                     max_width=args.max_width, max_slope=args.max_slope,
                     num_bands=args.num_bands,
                     bottom_freedom=args.bottom_freedom,
-                    f_lower=args.f_lower, f_upper=args.f_upper))
+                    f_lower=args.f_lower, f_upper=args.f_upper,
+                    stream=True if args.stream else "auto"))
             else:
                 outs.extend(dropouts.process_max_mono(path, args.fft_size,
                                                       args.fft_overlap))
@@ -393,15 +403,17 @@ def _dispatch(args):
                 args.input, noise_path=args.noise,
                 selection=tuple(args.selection) if args.selection else None,
                 gain=args.gain, overhead=args.overhead, fft_size=args.fft_size,
-                fft_overlap=args.fft_overlap)
+                fft_overlap=args.fft_overlap,
+                stream=True if args.stream else "auto")
             print(json.dumps({"outputs": [out]}))
     elif args.cmd == "hpss":
         from .pipelines import hpss_tool
         outs = []
         for path in args.inputs:
-            outs.extend(hpss_tool.separate_file(path, args.fft_size,
-                                                args.fft_overlap, args.kernel,
-                                                args.power, args.margin))
+            outs.extend(hpss_tool.separate_file(
+                path, args.fft_size, args.fft_overlap, args.kernel,
+                args.power, args.margin,
+                stream=True if args.stream else "auto"))
         print(json.dumps({"outputs": outs}))
     elif args.cmd == "bench":
         import runpy

@@ -22,7 +22,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["sinc_banded_pallas"]
+__all__ = ["sinc_banded_pallas", "sinc_banded_pallas_dma",
+           "sinc_banded_pallas_dma_segments"]
 
 
 def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=128):
@@ -167,6 +168,27 @@ def sinc_banded_pallas_dma(sig, speeds, n, base_int, base_frac, max_n: int,
     0..1023 per-row offset is removed by a 10-stage binary roll network in
     VMEM.  Measured on TPU v5e: ~4.7x the XLA banded kernel at 4-minute
     takes (the XLA version's window gather scales superlinearly)."""
+    return sinc_banded_pallas_dma_segments(
+        sig, speeds[:-1], speeds[1:], n, base_int, base_frac, max_n, nt,
+        drift, tile, interpret, seg_tile)
+
+
+@functools.partial(jax.jit, static_argnames=("max_n", "nt", "drift", "tile",
+                                              "interpret", "seg_tile",
+                                              "force_chunk"))
+def sinc_banded_pallas_dma_segments(sig, s_lo_a, s_hi_a, n, base_int,
+                                    base_frac, max_n: int, nt: int = 50,
+                                    drift: int = 32, tile: int = 16,
+                                    interpret: bool = False,
+                                    seg_tile: int = 32768,
+                                    force_chunk: bool = False):
+    """Segments-level entry: per-segment endpoint speeds instead of a
+    (T+1,) curve, so a BATCH of takes can flatten into the segment axis
+    (respeeder_device.restore_fused_takes) with row-guarded anchors.
+
+    ``force_chunk`` always routes through fixed ``seg_tile`` chunks: the
+    Mosaic program then depends only on (seg_tile, tile, max_n, nt, drift),
+    NOT on the batch size — any B reuses one compiled kernel."""
     T = n.shape[0]
     U = nt + drift
     L = max_n + 2 * U
@@ -181,7 +203,14 @@ def sinc_banded_pallas_dma(sig, speeds, n, base_int, base_frac, max_n: int,
     total = -(-total // 1024) * 1024
     sig_p = jnp.pad(sig, (U, total - sig.shape[0] - U))
     sig_2d = sig_p.reshape(-1, 128)
-    max_start = sig_p.shape[0] - L_pad - 1024
+    # every DMA reads L_pad samples from the 1024-ALIGNED-down start, so the
+    # only hard bound is aligned + L_pad <= len(sig_p), i.e. starts_raw <=
+    # len - L_pad; the padding above guarantees that for every real anchor
+    # (total >= flatlen + L + L_pad), making this clip a pure safety net.  An
+    # extra -1024 here (pre-round-3 bug) clipped REAL window starts in the
+    # last unaligned kilosample and corrupted the final segments whenever the
+    # signal length was not 1024-aligned (e.g. the flattened-takes layout).
+    max_start = sig_p.shape[0] - L_pad
 
     kernel = functools.partial(_kernel_dma, nt=nt, drift=drift, max_n=max_n,
                                tile=tile, L_pad=L_pad)
@@ -221,8 +250,7 @@ def sinc_banded_pallas_dma(sig, speeds, n, base_int, base_frac, max_n: int,
             interpret=interpret,
         )(starts, sig_2d, bs, rel, in_seg, offs[:, None])
 
-    s_lo_a, s_hi_a = speeds[:-1], speeds[1:]
-    if T <= seg_tile:
+    if T <= seg_tile and not force_chunk:
         pad_t = (-T) % tile
         args = (jnp.pad(s_lo_a, (0, pad_t), constant_values=1.0),
                 jnp.pad(s_hi_a, (0, pad_t), constant_values=1.0),

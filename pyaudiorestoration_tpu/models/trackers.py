@@ -166,49 +166,58 @@ def _adaptive_peak_scan(spec_frames, carry0, tolerance_st, mode: str,
     142-187), picks the strongest emphasized bin, refines parabolically on
     the raw magnitudes, and shifts the history.
     """
-    num_bins = spec_frames.shape[-1]
-    bins = jnp.arange(num_bins, dtype=jnp.float32)
-    freq_2_bin = fft_size / sr
-
     def step(hist, frame):
-        l1, l2, l3, l4 = hist
-        if mode == "Constant":
-            logfreq = l4
-        elif mode == "Linear":
-            logfreq = l4 + (l4 - l2)
-        else:  # Average
-            logfreq = l1 + (l4 - l1) / 3.0 * 4.0
-        fL = jnp.power(2.0, logfreq - tolerance_st / 12.0)
-        fU = jnp.power(2.0, logfreq + tolerance_st / 12.0)
-        NL = jnp.clip(jnp.round(fL * freq_2_bin).astype(jnp.int32), 1, num_bins - 3)
-        NU = jnp.clip(jnp.round(fU * freq_2_bin).astype(jnp.int32), 1, num_bins - 2)
-        # triangular emphasis window peaked at the predicted frequency
-        pb = jnp.power(2.0, logfreq) * freq_2_bin
-        nlf, nuf = NL.astype(jnp.float32), NU.astype(jnp.float32)
-        up = (bins - nlf) / jnp.maximum(pb - nlf, 1e-6)
-        down = (nuf - 1.0 - bins) / jnp.maximum(nuf - 1.0 - pb, 1e-6)
-        tri = jnp.clip(jnp.minimum(up, down), 0.0, 1.0)
-        window = jnp.where(NU - NL > 5, tri, 1.0)
-        mask = (bins >= nlf) & (bins < nuf)
-        scores = jnp.where(mask, frame * window, -jnp.inf)
-        peak = jnp.argmax(scores, axis=-1)
-        p = jnp.clip(peak, 1, num_bins - 2)
-        fm1, f0, fp1 = frame[p - 1], frame[p], frame[p + 1]
-        denom = jnp.where(fm1 - 2 * f0 + fp1 == 0, 1e-12, fm1 - 2 * f0 + fp1)
-        refined = p.astype(jnp.float32) + 0.5 * (fm1 - fp1) / denom
-        is_peak = (fm1 < f0) & (f0 > fp1) & (peak == p)
-        peak_bin = jnp.where(is_peak, refined, peak.astype(jnp.float32))
-        # collapsed band (NU <= NL) -> hold the previous frequency instead of
-        # emitting bin 0 and poisoning the history (mirrors the host warm
-        # loop's NU <= NL guard)
-        band_ok = NU > NL
-        freq = jnp.where(band_ok, peak_bin / fft_size * sr,
-                         jnp.power(2.0, l4))
-        lf = jnp.where(band_ok, jnp.log2(jnp.maximum(freq, 1e-12)), l4)
-        return (l2, l3, l4, lf), freq
+        return adaptive_step_core(frame, hist, tolerance_st, mode, fft_size, sr)
 
     _, freqs = jax.lax.scan(step, carry0, spec_frames)
     return freqs
+
+
+def adaptive_step_core(frame, hist, tolerance_st, mode: str, fft_size: int,
+                       sr: int):
+    """One adapt_band prediction + emphasized peak pick (wow_detection.py:
+    142-187): the per-frame core of the adaptive scan, shared with the
+    sharded tier (parallel/sharded.adaptive_peak_sharded) so the two cannot
+    drift.  ``frame``: (num_bins,) magnitudes; ``hist``: 4-tuple of the last
+    traced log2 frequencies.  Returns (new_hist, freq)."""
+    num_bins = frame.shape[-1]
+    bins = jnp.arange(num_bins, dtype=jnp.float32)
+    freq_2_bin = fft_size / sr
+    l1, l2, l3, l4 = hist
+    if mode == "Constant":
+        logfreq = l4
+    elif mode == "Linear":
+        logfreq = l4 + (l4 - l2)
+    else:  # Average
+        logfreq = l1 + (l4 - l1) / 3.0 * 4.0
+    fL = jnp.power(2.0, logfreq - tolerance_st / 12.0)
+    fU = jnp.power(2.0, logfreq + tolerance_st / 12.0)
+    NL = jnp.clip(jnp.round(fL * freq_2_bin).astype(jnp.int32), 1, num_bins - 3)
+    NU = jnp.clip(jnp.round(fU * freq_2_bin).astype(jnp.int32), 1, num_bins - 2)
+    # triangular emphasis window peaked at the predicted frequency
+    pb = jnp.power(2.0, logfreq) * freq_2_bin
+    nlf, nuf = NL.astype(jnp.float32), NU.astype(jnp.float32)
+    up = (bins - nlf) / jnp.maximum(pb - nlf, 1e-6)
+    down = (nuf - 1.0 - bins) / jnp.maximum(nuf - 1.0 - pb, 1e-6)
+    tri = jnp.clip(jnp.minimum(up, down), 0.0, 1.0)
+    window = jnp.where(NU - NL > 5, tri, 1.0)
+    mask = (bins >= nlf) & (bins < nuf)
+    scores = jnp.where(mask, frame * window, -jnp.inf)
+    peak = jnp.argmax(scores, axis=-1)
+    p = jnp.clip(peak, 1, num_bins - 2)
+    fm1, f0, fp1 = frame[p - 1], frame[p], frame[p + 1]
+    denom = jnp.where(fm1 - 2 * f0 + fp1 == 0, 1e-12, fm1 - 2 * f0 + fp1)
+    refined = p.astype(jnp.float32) + 0.5 * (fm1 - fp1) / denom
+    is_peak = (fm1 < f0) & (f0 > fp1) & (peak == p)
+    peak_bin = jnp.where(is_peak, refined, peak.astype(jnp.float32))
+    # collapsed band (NU <= NL) -> hold the previous frequency instead of
+    # emitting bin 0 and poisoning the history (mirrors the host warm
+    # loop's NU <= NL guard)
+    band_ok = NU > NL
+    freq = jnp.where(band_ok, peak_bin / fft_size * sr,
+                     jnp.power(2.0, l4))
+    lf = jnp.where(band_ok, jnp.log2(jnp.maximum(freq, 1e-12)), l4)
+    return (l2, l3, l4, lf), freq
 
 
 def _trace_peak_adaptive(spec_sel, seed_freq, g, mode):

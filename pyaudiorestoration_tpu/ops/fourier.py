@@ -31,6 +31,7 @@ from scipy import signal as _dsp
 __all__ = [
     "stft", "istft", "get_mag", "to_mag", "fft_freqs", "get_window",
     "window_sumsquare", "fix_length", "pad_center", "n_frames_for",
+    "istft_frames_raw",
 ]
 
 
@@ -233,6 +234,33 @@ def istft(stft_matrix, hop_length=None, win_length=None, window_name="blackmanha
     return _istft_1d(stft_matrix, int(hop_length), int(win_length), window_name,
                      center, None if length is None else int(length), int(n_frames),
                      int(zeropad))
+
+
+@functools.partial(jax.jit, static_argnames=("hop", "window_name", "zeropad"))
+def istft_frames_raw(stft_matrix, hop: int, window_name: str = "blackmanharris",
+                     zeropad: int = 1):
+    """UNNORMALIZED inverse STFT: irfft + synthesis window + overlap-add,
+    WITHOUT the window-sumsquare division or any trimming.
+
+    The streamed spectral tools (utils/streaming.stream_masked_stft) invert
+    frame blocks with this and divide by their own locally-accumulated
+    envelope, which makes blockwise output bit-identical to the in-memory
+    ``istft`` in the interior (same addends, same order).  Input
+    (n_freqs, n_frames) or (C, n_freqs, n_frames); output length is
+    ``n_fft + hop*(n_frames-1)`` in overlap-add coordinates (frame 0 starts
+    at 0).
+    """
+    n_fft_padded = 2 * (stft_matrix.shape[-2] - 1)
+    n_fft = n_fft_padded // zeropad
+    n_frames = stft_matrix.shape[-1]
+    mat = stft_matrix * np.sqrt(n_fft)  # denormalize (matches _istft_1d)
+    window = jnp.asarray(pad_center(get_window(window_name, n_fft), n_fft))
+    ytmp = jnp.fft.irfft(mat, n=n_fft_padded, axis=-2)[..., :n_fft, :]
+    ytmp = jnp.swapaxes(ytmp, -1, -2) * window[None, :]
+    out_len = n_fft + hop * (n_frames - 1)
+    if ytmp.ndim == 2:
+        return _overlap_add(ytmp, hop, out_len)
+    return jax.vmap(lambda f: _overlap_add(f, hop, out_len))(ytmp)
 
 
 def fix_length(data, size: int, axis: int = -1):

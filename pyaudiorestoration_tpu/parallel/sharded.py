@@ -32,7 +32,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops.fourier import get_window
 
 __all__ = ["stft_sharded", "istft_sharded", "restore_step", "halo_exchange_right",
-           "hpss_sharded", "cog_sharded", "renoise_sharded", "heal_sharded"]
+           "hpss_sharded", "cog_sharded", "renoise_sharded", "heal_sharded",
+           "restore_fused_sharded", "compact_padded_host",
+           "adaptive_peak_sharded", "lag_resample_sharded"]
 
 
 def _left_ppermute(x, axis_name, n_shards):
@@ -291,6 +293,392 @@ def cog_sharded(mesh: Mesh, spec_mag, NL0, NU0, tolerance, fft_size: int, sr: in
         out_specs=P("files", "time"),
         check_vma=False,
     )(spec_mag, NL0, NU0)
+
+
+def _split_total(ci, cf, x):
+    """Total of ``x`` as an exact (int32, frac<1) pair, given the exclusive
+    split prefixes (ci, cf) of x.  1D; vmap for batches."""
+    xi = jnp.floor(x[-1])
+    s = cf[-1] + (x[-1] - xi)
+    w = jnp.floor(s)
+    return ci[-1] + xi.astype(jnp.int32) + w.astype(jnp.int32), s - w
+
+
+def _cross_shard_exclusive(ti, tf, axis_name: str, n_shards: int):
+    """Exclusive prefix of per-shard (int32, frac) totals across the mesh
+    axis: all_gather the D split totals, then each shard sums its
+    predecessors in split arithmetic (D is tiny, the loop is static).
+
+    ``ti``/``tf``: (...,) local totals.  Returns the (..., ) split offset of
+    this shard — the global exclusive cumsum carry the single-chip
+    ``_split_cumsum_exclusive`` scan computes sequentially."""
+    tis = jax.lax.all_gather(ti, axis_name)  # (D, ...)
+    tfs = jax.lax.all_gather(tf, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    oi = jnp.zeros_like(ti)
+    of = jnp.zeros_like(tf)
+    for d in range(n_shards - 1):
+        take = d < idx
+        nf = of + jnp.where(take, tfs[d], 0.0)
+        w = jnp.floor(nf)
+        oi = oi + jnp.where(take, tis[d], 0) + w.astype(jnp.int32)
+        of = nf - w
+    return oi, of
+
+
+def _sharded_split_exclusive(vals, axis_name: str, n_shards: int):
+    """Globally-exclusive split cumsum of (..., T_local) positive values
+    sharded along the mesh axis: shard-local exact (int, frac) prefixes plus
+    one all_gather carry combine.  The distributed twin of
+    ``respeeder_device._split_cumsum_exclusive``."""
+    from ..pipelines.respeeder_device import _split_cumsum_exclusive
+
+    def local(x):
+        ci, cf = _split_cumsum_exclusive(x)
+        ti, tf = _split_total(ci, cf, x)
+        return ci, cf, ti, tf
+
+    for _ in range(vals.ndim - 1):
+        local = jax.vmap(local)
+    ci, cf, ti, tf = local(vals)
+    oi, of = _cross_shard_exclusive(ti, tf, axis_name, n_shards)
+    nf = cf + of[..., None]
+    w = jnp.floor(nf)
+    return ci + oi[..., None] + w.astype(jnp.int32), nf - w
+
+
+def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
+                          zeropad: int = 1, max_n: int = None, nt: int = 50,
+                          drift: int = 32, window_name: str = "blackmanharris",
+                          band=None, speed_curve=None, base_slack: int = 16,
+                          chunk_frames: int = 4096):
+    """The single-chip fused restoration step on a ('files', 'time') mesh.
+
+    Same kernels and conventions as ``respeeder_device.restore_fused_device``
+    (docstring there; reference semantics resampling.py:93-137, 162-240) —
+    banded-DFT MXU peak tracking, exact split-cumsum dithered position plan,
+    and the gather-free banded shift-MAC sinc with quality taps — with the
+    three global couplings becoming collectives:
+
+    * speed normalization: the global log-speed mean is a ``psum`` over time
+      shards (``TraceLine`` centering, markers.py:190-192);
+    * the dither cumsum and the base-position cumsum: shard-local exact
+      (int32, frac) prefixes plus an ``all_gather`` carry combine
+      (:func:`_sharded_split_exclusive`);
+    * STFT frames and sinc windows at shard boundaries: ``ppermute`` halos.
+
+    Per-segment input advance is one hop by construction (the dithered count
+    ``n_i ~ step*s_i`` cancels the ``1/s_i`` step size), so segment i's sinc
+    window starts within ~1 sample of ``i*step`` and every window is
+    shard-local given a ``base_slack`` halo margin.
+
+    ``x``: (files, n) batch — each file tracks its OWN curve (the
+    independent-takes contract of ``restore_fused_takes``).  ``NL``/``NU``:
+    (n_frames,) per-frame band limits shared across files (n_frames =
+    n//step + 1).  ``speed_curve``: optional (files, n_frames) frame-rate
+    speed override (project-replay / master-curve path, pyrespeeder_gui.py:
+    133-140) — skips tracking.  Returns (padded, n, base_int, base_frac):
+    (files, T, max_n) output grid and (files, T) plan arrays, T = n//step.
+    """
+    from ..pipelines.respeeder_device import (
+        _banded_dft_matrix, exact_log_center, log_center_for_band,
+        quantized_log_sums, segment_advances, segment_grids, sinc_shift_mac)
+    from ..models.trackers import masked_peak_refine
+
+    n_time = mesh.shape["time"]
+    batch, total = x.shape
+    S = total // n_time
+    assert S % step == 0 and S * n_time == total
+    assert n_fft % step == 0
+    pad = n_fft // 2
+    assert pad <= S and n_fft <= S, "shard must cover the frame halo"
+    Tl = S // step          # segments per shard
+    T = total // step       # global segments
+    F_total = T + 1         # global frames
+    ratio = n_fft // step
+    if max_n is None:
+        max_n = int(step * 1.25)
+    U = nt + drift
+    Hl = U + base_slack
+    Hr = (max_n - step) + U + base_slack
+    assert Hl <= S and Hr <= S, "halos must fit one neighbor shard"
+    window = jnp.asarray(get_window(window_name, n_fft))
+    num_bins = n_fft * zeropad // 2 + 1
+    NL = np.asarray(NL, np.int32)
+    NU = np.asarray(NU, np.int32)
+    assert NL.shape == NU.shape == (F_total,)
+    if band is None:
+        band = (max(0, int(NL.min()) - 1), min(num_bins, int(NU.max()) + 1))
+    lo, hi = int(band[0]), int(band[1])
+    center = log_center_for_band((lo, hi))
+    dft = jnp.asarray(_banded_dft_matrix(n_fft, zeropad, lo, hi))
+    nb = hi - lo
+    # per-shard overlapping frame windows: shard d owns frames
+    # [d*Tl, d*Tl + Tl] inclusive (one-frame overlap with the right neighbor;
+    # the duplicate is recomputed locally, bit-identical from the same halo)
+    NL_ov = np.stack([NL[d * Tl: d * Tl + Tl + 1] for d in range(n_time)])
+    NU_ov = np.stack([NU[d * Tl: d * Tl + Tl + 1] for d in range(n_time)])
+    if speed_curve is not None:
+        sc = np.asarray(speed_curve, np.float32)
+        assert sc.shape == (batch, F_total)
+        # (files, n_time, Tl+1) overlap layout so both axes shard naturally
+        sc_ov = np.stack([sc[:, d * Tl: d * Tl + Tl + 1] for d in range(n_time)],
+                         axis=1)
+    d_bound = min(0.9, max(drift - 2, 1) / max_n)
+
+    def track_local(xb, nl, nu, is_first, is_last):
+        # reflect-centered frames: frame t covers x[t*step - pad, ...+n_fft)
+        left = _right_ppermute(xb[..., -pad:], "time", n_time)
+        right = _left_ppermute(xb[..., :pad], "time", n_time)
+        sym_l = xb[..., 1:pad + 1][..., ::-1]
+        sym_r = xb[..., -pad - 1:-1][..., ::-1]
+        left = jnp.where(is_first, sym_l, left)
+        right = jnp.where(is_last, sym_r, right)
+        ext = jnp.concatenate([left, xb, right], axis=-1)  # (B, S + n_fft)
+        n_frames_loc = Tl + 1
+        n_chunks = -(-n_frames_loc // chunk_frames)
+        span = (chunk_frames + ratio - 1) * step
+        extp = jnp.pad(ext, [(0, 0)] * (ext.ndim - 1)
+                       + [(0, max(0, n_chunks * chunk_frames * step + span
+                                  - ext.shape[-1]))])
+        pad_t = n_chunks * chunk_frames - n_frames_loc
+        nlp = jnp.pad(nl, (0, pad_t), constant_values=lo + 1)
+        nup = jnp.pad(nu, (0, pad_t), constant_values=lo + 2)
+
+        def one_chunk(args):
+            c, nlc, nuc = args
+            xs = jax.lax.dynamic_slice_in_dim(extp, c * chunk_frames * step,
+                                              span, axis=-1)
+            blocks = xs.reshape(*xs.shape[:-1], -1, step)
+            frames = jnp.concatenate(
+                [blocks[..., j:j + chunk_frames, :] for j in range(ratio)],
+                axis=-1) * window
+            ri = jnp.dot(frames, dft, precision=jax.lax.Precision.HIGHEST)
+            mag = jnp.sqrt(ri[..., :nb] ** 2 + ri[..., nb:] ** 2) + 1e-7
+            return masked_peak_refine(mag, nlc - lo, nuc - lo,
+                                      bin_offset=float(lo))
+
+        refined = jax.lax.map(one_chunk, (
+            jnp.arange(n_chunks),
+            nlp.reshape(n_chunks, chunk_frames),
+            nup.reshape(n_chunks, chunk_frames)))
+        # (n_chunks, B, chunk) -> (B, n_frames_loc)
+        return jnp.moveaxis(refined, 0, 1).reshape(ext.shape[0], -1)[:, :n_frames_loc]
+
+    def fn(xb, nl_ov, nu_ov, *sc_args):
+        idx = jax.lax.axis_index("time")
+        is_first = idx == 0
+        is_last = idx == n_time - 1
+        nl = nl_ov[0]
+        nu = nu_ov[0]
+        if speed_curve is None:
+            refined = track_local(xb, nl, nu, is_first, is_last)  # (B, Tl+1)
+            log_speed = jnp.log2(jnp.maximum(refined, 1.0))
+            # global TraceLine centering: EXACT partition-invariant mean over
+            # ALL F_total frames (quantized_log_sums limbs + psum) so the
+            # curve is bit-identical to the dense tier's.  The overlap frame
+            # counts once (only the last shard owns frame T).
+            mask = jnp.concatenate([
+                jnp.ones((Tl,), jnp.float32),
+                jnp.where(is_last, 1.0, 0.0)[None]])
+            limbs = quantized_log_sums(log_speed, center, mask=mask)
+            limbs = tuple(jax.lax.psum(l, "time") for l in limbs)
+            mean = exact_log_center(limbs, F_total, center)
+            speeds = jnp.power(2.0, log_speed - mean[:, None])
+        else:
+            speeds = sc_args[0][:, 0]  # (B_local, Tl+1)
+        speeds = jnp.clip(speeds, 1.0 / (1.0 + d_bound), 1.0 / (1.0 - d_bound))
+        s_lo, s_hi = speeds[:, :-1], speeds[:, 1:]  # (B, Tl)
+        n_raw = step * (s_lo + s_hi) / 2.0
+
+        # globally-dithered output counts (exact split arithmetic)
+        ci, cf = _sharded_split_exclusive(n_raw, "time", n_time)
+        inc_i = ci + jnp.floor(cf + n_raw).astype(jnp.int32)
+        inc_f = cf + n_raw - jnp.floor(cf + n_raw)
+        rounded = inc_i + (inc_f >= 0.5).astype(jnp.int32)
+        pred0 = ci[:, :1] + (cf[:, :1] >= 0.5).astype(jnp.int32)
+        nn = jnp.diff(jnp.concatenate([pred0, rounded], axis=-1))
+        nn = jnp.clip(nn, 0, max_n)
+
+        # exact segment advances + global base positions
+        A = jax.vmap(lambda a, b, c: segment_advances(a, b, c, max_n))(
+            s_lo, s_hi, nn)
+        base_int, base_frac = _sharded_split_exclusive(A, "time", n_time)
+
+        # shard-local sinc windows with bounded halos
+        left = _right_ppermute(xb[..., -Hl:], "time", n_time)
+        right = _left_ppermute(xb[..., :Hr], "time", n_time)
+        ext = jnp.concatenate([left, xb, right], axis=-1)  # (B, S + Hl + Hr)
+        ext_len = S + Hl + Hr
+        L = max_n + 2 * U
+        start = base_int - idx * S + Hl - U  # window starts in ext coords
+
+        def one_file(ext1, sl, sh, nn1, st1, bf1):
+            bs, rel, in_seg = segment_grids(sl, sh, nn1, bf1, max_n)
+            idx2 = st1[:, None] + np.arange(L)[None, :]
+            buf = ext1[jnp.clip(idx2, 0, ext_len - 1)]
+            return sinc_shift_mac(buf, bs, rel, in_seg, max_n, nt, drift)
+
+        padded = jax.vmap(one_file)(ext, s_lo, s_hi, nn, start, base_frac)
+        return padded, nn, base_int, base_frac
+
+    in_specs = [P("files", "time"), P("time", None), P("time", None)]
+    args = [x, jnp.asarray(NL_ov), jnp.asarray(NU_ov)]
+    if speed_curve is not None:
+        in_specs.append(P("files", "time", None))
+        args.append(jnp.asarray(sc_ov))
+    # jit the whole sharded step: besides dispatch cost, XLA's elementwise
+    # simplifications (log2/exp2 fusion) must match the jitted dense tier's
+    # ulp-for-ulp, or the centering mean drifts and flips dither roundings
+    return jax.jit(shard_map(
+        fn, mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P("files", "time", None), P("files", "time"),
+                   P("files", "time"), P("files", "time")),
+        check_vma=False,
+    ))(*args)
+
+
+def compact_padded_host(padded_np, n_np, n_out=None):
+    """Host: (T, max_n) padded grid + (T,) counts -> flat (n_out,) output.
+    The sharded twin of ``respeeder_device.compact_output`` (which takes the
+    host plan dict instead)."""
+    T, max_n = padded_np.shape
+    mask = np.arange(max_n)[None, :] < np.asarray(n_np)[:, None]
+    flat = np.asarray(padded_np)[mask]
+    return flat[:n_out] if n_out is not None else flat
+
+
+def adaptive_peak_sharded(mesh: Mesh, spec_mag, carry0, tolerance_st,
+                          mode: str, fft_size: int, sr: int):
+    """Time-sharded adapt_band peak tracking with cross-shard history handoff.
+
+    The adaptive tracker is sequential — frame t's band is predicted from the
+    last 4 traced frequencies (wow_detection.py:142-187) — so, exactly like
+    :func:`cog_sharded`, the shards form a dependency chain: each runs its
+    local ``lax.scan`` on its turn, starting from the 4-deep log2-frequency
+    history its left neighbor hands over via ``ppermute``.  Per-frame math is
+    ``trackers.adaptive_step_core``, shared with the dense scan.
+
+    spec_mag: (files, F, T) sharded (files, None, time); carry0: (files, 4)
+    initial history (last 4 log2 freqs, oldest first).  Returns (files, T).
+    """
+    from ..models.trackers import adaptive_step_core
+
+    n_time = mesh.shape["time"]
+
+    def local_scan(sb, hist):  # sb (B, F, T_local); hist (B, 4)
+        step_b = jax.vmap(
+            lambda fr, h: adaptive_step_core(fr, tuple(h), tolerance_st,
+                                             mode, fft_size, sr))
+
+        def step(carry, frame):  # frame (B, F)
+            h2, freq = step_b(frame, carry)
+            return jnp.stack(h2, axis=-1), freq
+
+        hist2, freqs = jax.lax.scan(step, hist, jnp.moveaxis(sb, -1, 0))
+        return hist2, jnp.moveaxis(freqs, 0, -1)
+
+    def fn(sb, h0):
+        idx = jax.lax.axis_index("time")
+        out0 = jnp.zeros((sb.shape[0], sb.shape[-1]), jnp.float32)
+
+        def body(s, state):
+            hist, out = state
+            my_turn = idx == s
+            hist2, freqs = jax.lax.cond(
+                my_turn,
+                lambda h: local_scan(sb, h),
+                lambda h: (h, jnp.zeros_like(out)),
+                hist)
+            out = jnp.where(my_turn, freqs, out)
+            return _right_ppermute(hist2, "time", n_time), out
+
+        _, out = jax.lax.fori_loop(0, n_time, body, (h0, out0))
+        return out
+
+    return jax.jit(shard_map(
+        fn, mesh=mesh,
+        in_specs=(P("files", None, "time"), P("files", None)),
+        out_specs=P("files", "time"),
+        check_vma=False,
+    ))(spec_mag, jnp.asarray(carry0, jnp.float32))
+
+
+def lag_resample_sharded(mesh: Mesh, x, sampletimes, lags, hop: int = 256,
+                         nt: int = 50, drift: int = 32, base_slack: int = 4):
+    """Time-sharded lag-curve varispeed resample — the tapesynch export on a
+    mesh (pytapesynch_gui.py:145-155; positions = ``interp(j, times,
+    times - lags)``, resampling.py:189-206; adaptive cutoff ``fc =
+    min(1/dp, 1)``, resampling.py:14-18).
+
+    Positions are monotone and stay within ``max|lags|`` of the output
+    index, so the banded shift-MAC kernel applies unchanged: outputs shard
+    along time, each shard fetches one ``max|lag|``-plus-taps halo from each
+    neighbor, and segments of ``hop`` outputs run the same
+    ``sinc_shift_mac`` loop as the restoration step.  The lag curve itself
+    is frame-rate-sized host data, replicated to every shard.
+
+    ``x``: (files, n) sharded (files, time) — the files axis carries the
+    channels resampled through one shared curve (the reference's export
+    loop, resampling.py:211-231).  ``sampletimes``/``lags``: 1D arrays in
+    SAMPLES.  Returns the fixed-length (files, n) resampled batch.
+    """
+    from ..pipelines.respeeder_device import sinc_shift_mac
+
+    n_time = mesh.shape["time"]
+    batch, total = x.shape
+    S = total // n_time
+    assert S % hop == 0
+    Tseg = S // hop
+    st = np.asarray(sampletimes, np.float64)
+    lg = np.asarray(lags, np.float64)
+    max_dev = float(np.max(np.abs(lg))) if len(lg) else 0.0
+    U = nt + drift
+    H = int(np.ceil(max_dev)) + U + base_slack + hop
+    assert H <= S, "max lag must fit one neighbor shard"
+    L = hop + 2 * U
+    st_j = jnp.asarray(st, jnp.float32)
+    lg_j = jnp.asarray(lg, jnp.float32)
+
+    def fn(xb):
+        idx = jax.lax.axis_index("time")
+        left = _right_ppermute(xb[..., -H:], "time", n_time)
+        right = _left_ppermute(xb[..., :H], "time", n_time)
+        ext = jnp.concatenate([left, xb, right], axis=-1)
+        ext_len = S + 2 * H
+        # sub-sample precision: positions are pos_j = j - lag(j); keep the
+        # big output index EXACT (int) and interpolate only the small lag,
+        # so no f32 rounding at recording-length magnitudes
+        g0 = (idx * S).astype(jnp.float32)
+        jg_rel = jnp.arange(S + 1, dtype=jnp.float32)
+        lagc = jnp.interp(jg_rel, st_j - g0, lg_j)  # (S+1,) small values
+        dlag = lagc[1:] - lagc[:-1]
+        bs = 1.0 / jnp.maximum(1.0 - dlag, 1e-6)  # fc = min(bs,1) in the MAC
+        neg_lag = (-lagc[:S]).reshape(Tseg, hop)
+        anchor_off = jnp.floor(neg_lag[:, 0]).astype(jnp.int32)  # per segment
+        kk = jnp.arange(hop, dtype=jnp.float32)[None, :]
+        rel = kk + neg_lag - anchor_off[:, None].astype(jnp.float32)
+        in_seg = jnp.ones((Tseg, hop), bool)
+        # window start (ext coords): bi - g0 + H - U with
+        # bi = g0 + k*hop + anchor_off
+        start = jnp.arange(Tseg, dtype=jnp.int32) * hop + anchor_off + H - U
+        idx2 = start[:, None] + np.arange(L)[None, :]
+        idx2 = jnp.clip(idx2, 0, ext_len - 1)
+
+        def one_file(ext1):
+            buf = ext1[idx2]
+            return sinc_shift_mac(buf, bs.reshape(Tseg, hop), rel, in_seg,
+                                  hop, nt, drift).reshape(-1)
+
+        return jax.vmap(one_file)(ext)
+
+    return jax.jit(shard_map(
+        fn, mesh=mesh,
+        in_specs=P("files", "time"),
+        out_specs=P("files", "time"),
+        check_vma=False,
+    ))(x)
 
 
 def _masked_peak_local(spec_local, nl, nu):

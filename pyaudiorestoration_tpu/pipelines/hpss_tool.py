@@ -33,8 +33,18 @@ def separate(signal, sr, fft_size=2048, fft_overlap=4, kernel_size=31, power=2.0
 
 
 def separate_file(file_path, fft_size=2048, fft_overlap=4, kernel_size=31,
-                  power=2.0, margin=1.0, channels=None):
-    """Write the separated components next to the input. Returns paths."""
+                  power=2.0, margin=1.0, channels=None, stream="auto",
+                  stream_threshold_bytes: int = 1 << 30):
+    """Write the separated components next to the input. Returns paths.
+
+    ``stream``: True forces the blockwise larger-than-memory path (one pass,
+    all components written together); "auto" streams when the decoded size
+    exceeds ``stream_threshold_bytes``."""
+    from ..utils import streaming
+
+    if streaming.should_stream(file_path, stream, stream_threshold_bytes):
+        return _separate_file_streamed(file_path, fft_size, fft_overlap,
+                                       kernel_size, power, margin, channels)
     signal, sr, num_channels = audio_io.read_file(file_path)
     H, P, R = separate(signal, sr, fft_size, fft_overlap, kernel_size, power,
                        margin, channels)
@@ -43,3 +53,38 @@ def separate_file(file_path, fft_size=2048, fft_overlap=4, kernel_size=31,
     if margin > 1.0:
         paths.append(audio_io.write_file(file_path, R, sr, R.shape[1], "_R"))
     return paths
+
+
+def _separate_file_streamed(file_path, fft_size, fft_overlap, kernel_size,
+                            power, margin, channels):
+    """Streamed HPSS: the harmonic median filter runs along time, so each
+    block carries a ``kernel_size//2``-frame mask halo
+    (utils/streaming.stream_masked_stft's ``mask_halo_frames``); H/P(/R)
+    components stream to their files in ONE pass over the input."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils import streaming
+
+    hop = fft_size // fft_overlap
+    with audio_io.StreamReader(file_path) as r:
+        chans = list(channels) if channels else list(range(r.channels))
+
+    def make_fac(spec, t_lo):
+        mh, mp = jax.vmap(lambda s: decompose.hpss(
+            s, kernel_size=kernel_size, power=power, margin=margin,
+            mask=True))(jnp.abs(spec))
+        facs = [mh, mp]
+        if margin > 1.0:
+            facs.append(1.0 - mh - mp)
+        return facs
+
+    base, _ = os.path.splitext(file_path)
+    out_paths = [f"{base}_H.wav", f"{base}_P.wav"]
+    if margin > 1.0:
+        out_paths.append(f"{base}_R.wav")
+    return streaming.stream_masked_stft(
+        file_path, out_paths, make_fac, fft_size, hop, chans,
+        mask_halo_frames=kernel_size // 2 + 1)

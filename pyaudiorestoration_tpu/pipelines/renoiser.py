@@ -125,29 +125,78 @@ def _process_fused(x, profile, gain, fft_size: int, hop: int, length: int):
 
 
 def process(signal, sr, profile, gain, fft_size=1024, fft_overlap=4, channels=None):
-    """Masked STFT -> iSTFT per channel (renoiser_gui.py:296-319).
+    """Masked STFT -> iSTFT of all channels (renoiser_gui.py:296-319).
 
-    The whole round trip runs as one fused jit per channel on device.
+    The whole round trip runs as ONE vmapped jit dispatch for every selected
+    channel (round 3: the per-channel dispatch loop is gone).
     """
     hop = fft_size // fft_overlap
     channels = list(channels) if channels else list(range(signal.shape[1]))
     n = len(signal)
     padded = np.asarray(fourier.fix_length(signal, n + fft_size // 2, axis=0))
-    y_out = np.empty((n, len(channels)), signal.dtype)
     prof = jnp.asarray(np.asarray(profile, np.float32))
-    for out_c, channel_i in enumerate(channels):
-        y_out[:, out_c] = np.asarray(_process_fused(
-            jnp.asarray(padded[:, channel_i]), prof, float(gain), fft_size, hop, n))
-    return y_out
+    x = jnp.asarray(np.ascontiguousarray(padded[:, channels].T))  # (C, n+pad)
+    y = jax.vmap(lambda ch: _process_fused(ch, prof, float(gain), fft_size,
+                                           hop, n))(x)
+    return np.asarray(y).T.astype(signal.dtype)
 
 
 def process_file(file_path, noise_path=None, selection=None, control_curve=(),
                  gain=-40.0, overhead=0.0, fft_size=1024, fft_overlap=4,
-                 channels=None, suffix=None):
+                 channels=None, suffix=None, stream="auto",
+                 stream_threshold_bytes: int = 1 << 30):
     """One-call renoise/denoise of a file. ``selection``: (t0, t1) noise span
-    in the file itself; otherwise ``noise_path`` supplies the floor."""
-    signal, sr, num_channels = audio_io.read_file(file_path)
+    in the file itself; otherwise ``noise_path`` supplies the floor.
+
+    ``stream``: True forces the blockwise larger-than-memory path (interior
+    bit-parity with the in-memory path, utils/streaming.stream_masked_stft);
+    "auto" streams when the DECODED size exceeds ``stream_threshold_bytes``.
+    """
+    import os
+
+    from ..utils import streaming
+
     hop = fft_size // fft_overlap
+    use_stream = streaming.should_stream(file_path, stream, stream_threshold_bytes)
+    if use_stream:
+        with audio_io.StreamReader(file_path) as r:
+            sr, num_channels = r.sample_rate, r.channels
+            if noise_path:
+                profile = noise_profile_from_file(noise_path, sr, fft_size,
+                                                  fft_overlap)
+            elif selection:
+                # the floor profile needs only the selected frames; read them
+                # on the exact global frame grid so the profile (and thus
+                # every masked bin) is bit-identical to the in-memory path
+                t0, t1 = selection
+                pad = fft_size // 2
+                n = int(r.frames)
+                T_sel = (n + 2 * pad - fft_size) // hop + 1
+                f0 = max(0, int(t0 * sr / hop))
+                f1 = max(f0 + 1, min(T_sel - 1, int(t1 * sr / hop)))
+                a = f0 * hop - pad
+                b = (f1 - 1) * hop - pad + fft_size
+                span = streaming.virtual_read(r, a, b, 0, [0])[:, 0]
+                mag = np.asarray(fourier.get_mag(
+                    jnp.asarray(span), fft_size, hop, center=False))
+                profile = units.to_dB(np.average(mag[:, :f1 - f0], axis=1))
+            else:
+                raise ValueError("need noise_path or selection")
+        freqs = fourier.fft_freqs(fft_size, sr)
+        profile = final_profile(profile, freqs, control_curve, 0.0, overhead)
+        prof = jnp.asarray(np.asarray(profile, np.float32))
+        chans = list(channels) if channels else list(range(num_channels))
+
+        def make_fac(spec, t_lo):
+            return _mask_fac(20.0 * jnp.log10(jnp.abs(spec) + 1e-7), prof,
+                             float(gain))
+
+        sfx = suffix if suffix is not None else f" fft={fft_size}"
+        base, _ = os.path.splitext(file_path)
+        out_path = f"{base}{sfx}.wav"
+        return streaming.stream_masked_stft(file_path, out_path, make_fac,
+                                            fft_size, hop, chans)
+    signal, sr, num_channels = audio_io.read_file(file_path)
     if noise_path:
         profile = noise_profile_from_file(noise_path, sr, fft_size, fft_overlap)
     elif selection:

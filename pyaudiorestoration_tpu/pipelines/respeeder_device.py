@@ -35,9 +35,86 @@ from ..ops.fourier import get_window
 from ..ops.resampling import _sinc_window
 
 __all__ = ["track_speed_device", "track_peaks_span", "plan_positions",
-           "restore_fused_takes",
+           "restore_fused_takes", "segment_grids", "segment_advances",
+           "sinc_shift_mac",
            "sinc_padded_device", "restore_device", "compact_output",
            "restore_file_fast", "restore_file_streamed"]
+
+
+def segment_grids(s_lo, s_hi, nn, bf, max_n: int):
+    """Per-segment block-speed / position grids shared by every banded-sinc
+    tier (the reference's lerped block speeds, resampling.py:107-119).
+
+    s_lo/s_hi/nn/bf: (T,) segment endpoint speeds, output counts, fractional
+    base offsets.  Returns (bs, rel, in_seg): (T, max_n) lerped block speeds,
+    positions relative to the integer window anchor, and the validity mask.
+    """
+    kf = jnp.arange(max_n, dtype=jnp.float32)[None, :]
+    ki = jnp.arange(max_n, dtype=jnp.int32)[None, :]
+    denom = jnp.maximum(nn[:, None] - 1, 1).astype(jnp.float32)
+    bs = s_lo[:, None] + kf / denom * (s_hi[:, None] - s_lo[:, None])
+    in_seg = ki < nn[:, None]
+    inv = jnp.where(in_seg, 1.0 / bs, 0.0)
+    rel = jnp.cumsum(inv, axis=1) + bf[:, None]
+    return bs, rel, in_seg
+
+
+def sinc_shift_mac(buf, bs, rel, in_seg, max_n: int, nt: int, drift: int):
+    """The banded windowed-sinc shift-MAC inner loop (XLA tier).
+
+    ``buf``: (T, L) contiguous signal windows, row i starting at
+    ``anchor_i - (nt + drift)``; ``bs``/``rel``/``in_seg`` from
+    :func:`segment_grids`.  Each of the ``2*(nt+drift)`` passes slides the
+    window one sample and accumulates ``sinc * cutoff * hann`` taps — no
+    per-tap gather (TPU gathers are scalar-rate).  Shared by the dense tier
+    (:func:`sinc_banded_device`) and the sharded tier
+    (parallel/sharded.py) so the tap math cannot drift between them.
+    """
+    U = nt + drift
+    ki = jnp.arange(max_n, dtype=jnp.int32)[None, :]
+    ind_local = jnp.round(rel).astype(jnp.int32)
+    shift = rel - ind_local
+    fc = jnp.minimum(bs, 1.0)
+    m = ind_local - ki  # |m| <= drift by the caller's drift contract
+
+    def body(v, out):
+        jj = (v - U) - m  # tap index for each (segment, k)
+        valid = (jj >= -nt) & (jj < nt) & in_seg
+        jf = jj.astype(jnp.float32)
+        x = (jf - shift) * fc
+        hann = 0.5 - 0.5 * jnp.cos(np.pi * (jf + nt) / nt)
+        w = jnp.where(valid, jnp.sinc(x) * fc * hann, 0.0)
+        seg = jax.lax.dynamic_slice_in_dim(buf, v, max_n, axis=1)
+        return out + seg * w
+
+    return jax.lax.fori_loop(0, 2 * U, body,
+                             jnp.zeros(bs.shape, jnp.float32))
+
+
+def segment_advances(s_lo, s_hi, n, max_n: int, seg_chunk: int = 32768):
+    """Exact per-segment input advances ``A_i = sum_k 1/bs_ik`` on the padded
+    grid, chunked so HBM holds one (seg_chunk, max_n) reciprocal grid at a
+    time.  Shared by the fused single-chip step and the sharded step."""
+    kf = jnp.arange(max_n, dtype=jnp.float32)[None, :]
+    ki = jnp.arange(max_n, dtype=jnp.int32)[None, :]
+
+    def a_chunk(args):
+        lo, hi, nn = args
+        denom = jnp.maximum(nn[:, None] - 1, 1).astype(jnp.float32)
+        bs = lo[:, None] + kf / denom * (hi[:, None] - lo[:, None])
+        inv = jnp.where(ki < nn[:, None], 1.0 / bs, 0.0)
+        return jnp.sum(inv, axis=1)
+
+    T = n.shape[0]
+    if T <= seg_chunk:
+        return a_chunk((s_lo, s_hi, n))
+    pad_t = (-T) % seg_chunk
+    nt_chunks = (T + pad_t) // seg_chunk
+    return jax.lax.map(a_chunk, (
+        jnp.pad(s_lo, (0, pad_t), constant_values=1.0).reshape(nt_chunks, seg_chunk),
+        jnp.pad(s_hi, (0, pad_t), constant_values=1.0).reshape(nt_chunks, seg_chunk),
+        jnp.pad(n, (0, pad_t)).reshape(nt_chunks, seg_chunk),
+    )).reshape(-1)[:T]
 
 
 @functools.lru_cache(maxsize=16)
@@ -135,16 +212,90 @@ def track_speed_device(x, NL, NU, n_fft: int, step: int, zeropad: int = 1,
     n_frames = (xp.shape[0] - n_fft) // step + 1
     refined = track_peaks_span(xp, NL, NU, n_frames, n_fft, step, zeropad,
                                window_name, chunk_frames, band)
-    return normalize_speeds(refined)
+    return normalize_speeds(refined, center=log_center_for_band(band))
 
 
-@jax.jit
-def normalize_speeds(refined):
+def log_center_for_band(band):
+    """Static log2 pivot for the exact mean, derived from the static band
+    bound so every tier (and every shard partition) agrees on it."""
+    if band is None:
+        return None
+    return float(np.log2(max((band[0] + band[1]) / 2.0, 2.0)))
+
+
+def _carry(hi, lo, base=4096.0):
+    """One base-4096 carry step on exact-integer float32 limbs."""
+    c = jnp.floor(lo / base)
+    return hi + c, lo - c * base
+
+
+def quantized_log_sums(ls, center: float, mask=None):
+    """Exact integer sum of ``q = round((ls - center) * 2**16)`` as three
+    float32 base-4096 limbs (h2, h1, lo).
+
+    Every partial sum stays below 2**24, so each limb is an exactly
+    represented integer and the (canonicalized) limb triple is IDENTICAL for
+    ANY partition of the frames — summing per time shard and combining with
+    ``psum`` yields the same limbs as the dense whole-array sum.  That makes
+    the global speed-curve centering bit-identical between the single-chip
+    tier and the sharded tier (a plain float mean reassociates, and a ~1e-7
+    difference is enough to flip dither roundings downstream).
+
+    Exact for up to ~2**24 frames with |ls - center| <= 1 (a 16 M-frame
+    recording at hop 512 is ~12 h of 192 kHz audio; beyond that the streamed
+    tier applies).  ``mask``: optional 0/1 frame-validity multiplier.
+    """
+    q = jnp.round((ls - center) * 65536.0)
+    if mask is not None:
+        q = q * mask
+    T = q.shape[-1]
+    pad = (-T) % (128 * 128)
+    qb = jnp.pad(q, [(0, 0)] * (q.ndim - 1) + [(0, pad)])
+    qb = qb.reshape(*q.shape[:-1], -1, 128, 128)
+    bs = jnp.sum(qb, axis=-1)                   # block sums, exact (< 2**23)
+    h1, lo = _carry(jnp.zeros_like(bs), bs)     # base-4096 digits per block
+    # group stage (128 blocks): limb sums stay < 2**19, still exact
+    h1g = jnp.sum(h1, axis=-1)
+    log_ = jnp.sum(lo, axis=-1)
+    h2g, h1g = _carry(jnp.zeros_like(h1g), h1g)
+    # total over groups: exact, then canonicalize
+    h2 = jnp.sum(h2g, axis=-1)
+    h1 = jnp.sum(h1g, axis=-1)
+    lo = jnp.sum(log_, axis=-1)
+    h1, lo = _carry(h1, lo)
+    h2, h1 = _carry(h2, h1)
+    return h2, h1, lo
+
+
+def exact_log_center(limbs, count: int, center: float):
+    """Mean of the quantized log speeds from exact limb sums.  The division
+    expression is fixed, so identical (canonical) limbs give a bit-identical
+    mean on every tier."""
+    h2, h1, lo = limbs
+    h1, lo = _carry(h1, lo)
+    h2, h1 = _carry(h2, h1)
+    inv = 1.0 / 65536.0
+    return center + (h2 * (4096.0 * 4096.0 / count) + h1 * (4096.0 / count)
+                     + lo * (1.0 / count)) * inv
+
+
+@functools.partial(jax.jit, static_argnames=("center",))
+def normalize_speeds(refined, center: float = None):
     """Refined peak bins -> speed curve centered on ~1.0 (TraceLine
     normalization, markers.py:190-192).  Shared by the in-memory and the
-    streamed tracking paths so both produce bit-identical curves."""
+    streamed tracking paths so both produce bit-identical curves.
+
+    ``center``: static log2-bin pivot enabling the exact partition-invariant
+    mean (see :func:`quantized_log_sums`) — pass it wherever the dense and
+    sharded tiers must produce identical curves.  ``None`` keeps the plain
+    float mean (standalone callers)."""
     log_speed = jnp.log2(jnp.maximum(refined, 1.0))
-    return jnp.power(2.0, log_speed - jnp.mean(log_speed))
+    if center is None:
+        mean = jnp.mean(log_speed)
+    else:
+        mean = exact_log_center(quantized_log_sums(log_speed, center),
+                                log_speed.shape[-1], center)
+    return jnp.power(2.0, log_speed - mean)
 
 
 def plan_positions(speeds_np, hop: int, num_input_samples: int, t0_samples: float = 0.0):
@@ -302,6 +453,45 @@ def sinc_padded_device(sig, speeds, n, base_int, base_frac, max_n: int,
     return res.reshape(-1, max_n)[:T]
 
 
+def sinc_banded_segments(sig, s_lo, s_hi, n, base_int, base_frac, max_n: int,
+                         nt: int = 50, drift: int = 32, seg_tile: int = 32768,
+                         force_chunk: bool = False):
+    """Segments-level XLA banded sinc: like :func:`sinc_banded_device` but
+    taking per-segment endpoint speeds directly, so callers can flatten a
+    BATCH of takes into one segment axis (``restore_fused_takes``) and the
+    inner kernel shape stays (seg_tile, ...) regardless of batch size.
+
+    ``force_chunk``: always run through fixed seg_tile chunks even when the
+    total fits one — the chunk shape (not the total) is what the compiled
+    kernel sees, so any batch size reuses the same inner computation.
+    """
+    n_in = sig.shape[0]
+    T = n.shape[0]
+    U = nt + drift
+    L = max_n + 2 * U
+
+    def run_tile(args):
+        lo, hi, nn, bi, bf = args
+        bs, rel, in_seg = segment_grids(lo, hi, nn, bf, max_n)
+        start = bi - U
+        idx = start[:, None] + np.arange(L)[None, :]
+        buf = jnp.where((idx >= 0) & (idx < n_in), sig[jnp.clip(idx, 0, n_in - 1)], 0.0)
+        return sinc_shift_mac(buf, bs, rel, in_seg, max_n, nt, drift)
+
+    if T <= seg_tile and not force_chunk:
+        return run_tile((s_lo, s_hi, n, base_int, base_frac))
+    # tile the segment axis so HBM stays bounded for long recordings
+    pad_t = (-T) % seg_tile
+    n_tiles = (T + pad_t) // seg_tile
+    out = jax.lax.map(run_tile, (
+        jnp.pad(s_lo, (0, pad_t), constant_values=1.0).reshape(n_tiles, seg_tile),
+        jnp.pad(s_hi, (0, pad_t), constant_values=1.0).reshape(n_tiles, seg_tile),
+        jnp.pad(n, (0, pad_t)).reshape(n_tiles, seg_tile),
+        jnp.pad(base_int, (0, pad_t)).reshape(n_tiles, seg_tile),
+        jnp.pad(base_frac, (0, pad_t)).reshape(n_tiles, seg_tile)))
+    return out.reshape(-1, max_n)[:T]
+
+
 @functools.partial(jax.jit, static_argnames=("max_n", "nt", "drift", "seg_tile"))
 def sinc_banded_device(sig, speeds, n, base_int, base_frac, max_n: int,
                        nt: int = 50, drift: int = 32, seg_tile: int = 32768):
@@ -318,58 +508,8 @@ def sinc_banded_device(sig, speeds, n, base_int, base_frac, max_n: int,
         # multi-channel (C, n): identical plan, vmap the kernel over channels
         return jax.vmap(lambda ch: sinc_banded_device(
             ch, speeds, n, base_int, base_frac, max_n, nt, drift, seg_tile))(sig)
-
-    n_in = sig.shape[0]
-    T = n.shape[0]
-    U = nt + drift
-    L = max_n + 2 * U
-    kf = jnp.arange(max_n, dtype=jnp.float32)[None, :]
-    ki = jnp.arange(max_n, dtype=jnp.int32)[None, :]
-
-    def run_tile(args):
-        s_lo, s_hi, nn, bi, bf = args
-        denom = jnp.maximum(nn[:, None] - 1, 1).astype(jnp.float32)
-        bs = s_lo[:, None] + kf / denom * (s_hi[:, None] - s_lo[:, None])
-        in_seg = ki < nn[:, None]
-        inv = jnp.where(in_seg, 1.0 / bs, 0.0)
-        rel = jnp.cumsum(inv, axis=1) + bf[:, None]
-        ind_local = jnp.round(rel).astype(jnp.int32)
-        shift = rel - ind_local
-        fc = jnp.minimum(bs, 1.0)
-        m = ind_local - ki  # |m| <= drift by construction
-
-        start = bi - U
-        idx = start[:, None] + np.arange(L)[None, :]
-        buf = jnp.where((idx >= 0) & (idx < n_in), sig[jnp.clip(idx, 0, n_in - 1)], 0.0)
-
-        def body(v, out):
-            jj = (v - U) - m  # tap index for each (segment, k)
-            valid = (jj >= -nt) & (jj < nt) & in_seg
-            jf = jj.astype(jnp.float32)
-            x = (jf - shift) * fc
-            hann = 0.5 - 0.5 * jnp.cos(np.pi * (jf + nt) / nt)
-            w = jnp.where(valid, jnp.sinc(x) * fc * hann, 0.0)
-            seg = jax.lax.dynamic_slice_in_dim(buf, v, max_n, axis=1)
-            return out + seg * w
-
-        return jax.lax.fori_loop(0, 2 * U, body,
-                                 jnp.zeros((nn.shape[0], max_n), jnp.float32))
-
-    if T <= seg_tile:
-        return run_tile((speeds[:-1], speeds[1:], n, base_int, base_frac))
-    # tile the segment axis so HBM stays bounded for long recordings
-    pad_t = (-T) % seg_tile
-    s_lo = jnp.pad(speeds[:-1], (0, pad_t), constant_values=1.0)
-    s_hi = jnp.pad(speeds[1:], (0, pad_t), constant_values=1.0)
-    n_p = jnp.pad(n, (0, pad_t))
-    bi_p = jnp.pad(base_int, (0, pad_t))
-    bf_p = jnp.pad(base_frac, (0, pad_t))
-    n_tiles = (T + pad_t) // seg_tile
-    out = jax.lax.map(run_tile, (
-        s_lo.reshape(n_tiles, seg_tile), s_hi.reshape(n_tiles, seg_tile),
-        n_p.reshape(n_tiles, seg_tile), bi_p.reshape(n_tiles, seg_tile),
-        bf_p.reshape(n_tiles, seg_tile)))
-    return out.reshape(-1, max_n)[:T]
+    return sinc_banded_segments(sig, speeds[:-1], speeds[1:], n, base_int,
+                                base_frac, max_n, nt, drift, seg_tile)
 
 
 def compact_output(padded_np, plan):
@@ -398,9 +538,15 @@ def _split_cumsum_exclusive(x, block: int = 1024):
     cf_in = jnp.cumsum(xf, axis=1) - xf  # < block, exact to ~block*eps
     cfi = jnp.floor(cf_in)
     cff = cf_in - cfi
-    # block totals, split
-    ti = (xi.sum(axis=1) + jnp.floor(cf_in[:, -1] + xf[:, -1])).astype(jnp.int32)
-    tf = (cf_in[:, -1] + xf[:, -1]) - jnp.floor(cf_in[:, -1] + xf[:, -1])
+    # block totals, split: accumulate the frac part at <1 magnitude (cff, the
+    # NORMALIZED last-element frac) rather than the raw ~block/2-magnitude
+    # cf_in, whose ulp (~6e-5 at block=1024) would leak into every downstream
+    # block carry.  The sharded tier's cross-shard combine
+    # (parallel/sharded.py:_split_total) reproduces this exact arithmetic, so
+    # shard totals match the dense block totals bit-for-bit.
+    s_last = cff[:, -1] + xf[:, -1]  # both < 1
+    ti = (xi.sum(axis=1) + cfi[:, -1] + jnp.floor(s_last)).astype(jnp.int32)
+    tf = s_last - jnp.floor(s_last)
 
     def step(carry, tot):
         whole, frac = carry
@@ -453,6 +599,35 @@ def restore_fused_device(x, NL, NU, n_fft: int, step: int, zeropad: int,
     (the reference's export contract, resampling.py:211-231).
     """
     mono = x[0] if x.ndim == 2 else x
+    speeds, n, base_int, base_frac = _fused_plan(
+        mono, NL, NU, n_fft, step, zeropad, max_n, nt, drift, window_name, band)
+    if backend == "pallas":
+        if x.ndim == 2:
+            # channels share one plan: flatten them into the segment axis so
+            # the kernel chunk shape is channel-count-independent
+            C = x.shape[0]
+            flat = _flatten_takes(
+                x, jnp.broadcast_to(speeds, (C,) + speeds.shape),
+                jnp.broadcast_to(n, (C,) + n.shape),
+                jnp.broadcast_to(base_int, (C,) + base_int.shape),
+                jnp.broadcast_to(base_frac, (C,) + base_frac.shape),
+                max_n, nt, drift)
+            out = _sinc_segments_backend(flat, max_n, nt, drift, "pallas")
+            return out.reshape(C, -1, max_n)
+        return _sinc_segments_backend(
+            _flatten_takes(x[None], speeds[None], n[None], base_int[None],
+                           base_frac[None], max_n, nt, drift),
+            max_n, nt, drift, "pallas").reshape(n.shape[0], max_n)
+    return sinc_banded_device(x, speeds, n, base_int, base_frac, max_n, nt, drift)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_fft", "step", "zeropad", "max_n", "nt", "drift", "window_name", "band"))
+def _fused_plan(mono, NL, NU, n_fft: int, step: int, zeropad: int, max_n: int,
+                nt: int, drift: int, window_name: str, band):
+    """Device position plan: track -> clip -> dithered counts -> advances ->
+    base positions.  The shared front half of ``restore_fused_device`` and
+    ``restore_fused_takes`` (vmapped there)."""
     speeds = track_speed_device(mono, NL, NU, n_fft, step, zeropad, window_name,
                                 band=band)
     # enforce the banded-sinc drift contract (|anchor - k| <= drift requires
@@ -474,42 +649,39 @@ def restore_fused_device(x, NL, NU, n_fft: int, step: int, zeropad: int,
     n = jnp.clip(n, 0, max_n)
 
     # segment advances A_i = sum_k 1/bs, chunked to bound the (T, max_n) grid
-    kf = jnp.arange(max_n, dtype=jnp.float32)[None, :]
-    ki = jnp.arange(max_n, dtype=jnp.int32)[None, :]
-    seg_chunk = 32768
-    T = n.shape[0]
-    pad_t = (-T) % seg_chunk
-
-    def a_chunk(args):
-        lo, hi, nn = args
-        denom = jnp.maximum(nn[:, None] - 1, 1).astype(jnp.float32)
-        bs = lo[:, None] + kf / denom * (hi[:, None] - lo[:, None])
-        inv = jnp.where(ki < nn[:, None], 1.0 / bs, 0.0)
-        return jnp.sum(inv, axis=1)
-
-    if T <= seg_chunk:
-        A = a_chunk((s_lo, s_hi, n))
-    else:
-        nt_chunks = (T + pad_t) // seg_chunk
-        A = jax.lax.map(a_chunk, (
-            jnp.pad(s_lo, (0, pad_t), constant_values=1.0).reshape(nt_chunks, seg_chunk),
-            jnp.pad(s_hi, (0, pad_t), constant_values=1.0).reshape(nt_chunks, seg_chunk),
-            jnp.pad(n, (0, pad_t)).reshape(nt_chunks, seg_chunk),
-        )).reshape(-1)[:T]
-
+    A = segment_advances(s_lo, s_hi, n, max_n)
     base_int, base_frac = _split_cumsum_exclusive(A)
+    return speeds, n, base_int, base_frac
+
+
+def _flatten_takes(xb, speeds, nn, bi, bf, max_n: int, nt: int, drift: int):
+    """Concatenate a batch of takes (with a zero guard between rows wide
+    enough that no sinc window crosses into the next take) and flatten every
+    per-segment plan array, offsetting anchors by the row stride.  Output
+    feeds the segments-level kernels whose compiled chunk shape is then
+    independent of the batch size."""
+    B, n = xb.shape
+    U = nt + drift
+    guard = max_n + 2 * U
+    R = n + guard
+    sig_flat = jnp.pad(xb, ((0, 0), (0, guard))).reshape(B * R)
+    offs = (jnp.arange(B, dtype=jnp.int32) * R)[:, None]
+    return (sig_flat, speeds[:, :-1].reshape(-1), speeds[:, 1:].reshape(-1),
+            nn.reshape(-1), (bi + offs).reshape(-1), bf.reshape(-1))
+
+
+def _sinc_segments_backend(flat, max_n: int, nt: int, drift: int,
+                           backend: str, seg_tile: int = 4096):
+    sig_flat, s_lo, s_hi, n_flat, bi_flat, bf_flat = flat
     if backend == "pallas":
-        from ..kernels.sinc_pallas import sinc_banded_pallas_dma
+        from ..kernels.sinc_pallas import sinc_banded_pallas_dma_segments
 
-        def one(ch):
-            return sinc_banded_pallas_dma(ch, speeds, n, base_int, base_frac,
-                                          max_n, nt, drift)
-
-        if x.ndim == 2:
-            # static channel loop (pallas_call has no vmap batching rule)
-            return jnp.stack([one(x[c]) for c in range(x.shape[0])])
-        return one(x)
-    return sinc_banded_device(x, speeds, n, base_int, base_frac, max_n, nt, drift)
+        return sinc_banded_pallas_dma_segments(
+            sig_flat, s_lo, s_hi, n_flat, bi_flat, bf_flat, max_n, nt, drift,
+            seg_tile=seg_tile, force_chunk=True)
+    return sinc_banded_segments(sig_flat, s_lo, s_hi, n_flat, bi_flat,
+                                bf_flat, max_n, nt, drift, seg_tile=seg_tile,
+                                force_chunk=True)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -529,16 +701,20 @@ def restore_fused_takes(xb, NLb, NUb, n_fft: int, step: int, zeropad: int,
     way the multi-track path does.  ``NLb``/``NUb``: (B, n_frames) per-take
     band limits.  Returns (B, T-1, max_n) padded grids.
 
-    The batch unrolls statically (pallas_call has no vmap batching rule), so
-    trace/compile time grows with B and each new B recompiles — size the
-    batch for steady-state reuse (B=4 compiles in ~10 s on v5e; per-take
-    device cost is flat).
+    Compile-once design (round-3, VERDICT #3): the plan runs as a ``vmap``
+    over takes and the batch then FLATTENS into the kernel's segment axis
+    (zero guard bands between takes), always chunked at a fixed
+    ``seg_tile`` — so the compiled sinc kernel (Pallas Mosaic program or XLA
+    inner map body) is byte-identical for every B and only the cheap outer
+    trace re-runs when the batch size changes.
     """
-    return jnp.stack([
-        restore_fused_device(xb[i], NLb[i], NUb[i], n_fft, step, zeropad,
-                             max_n, nt, drift, window_name, backend, band)
-        for i in range(xb.shape[0])
-    ])
+    plan = jax.vmap(lambda x1, nl, nu: _fused_plan(
+        x1, nl, nu, n_fft, step, zeropad, max_n, nt, drift, window_name,
+        band))(xb, NLb, NUb)
+    speeds, nn, bi, bf = plan
+    flat = _flatten_takes(xb, speeds, nn, bi, bf, max_n, nt, drift)
+    out = _sinc_segments_backend(flat, max_n, nt, drift, backend)
+    return out.reshape(xb.shape[0], -1, max_n)
 
 
 def _band_limits(f0_hz, tolerance_st, fft_size, zeropad, sr):
@@ -610,7 +786,8 @@ def restore_file_streamed(audio_path, f0_hz=None, tolerance_st: float = 1.0,
                 zeropad, band=(NL - 1, NU + 1)))
             refined_parts.append(refined[: t1 - t0])
         speeds = np.asarray(normalize_speeds(
-            jnp.asarray(np.concatenate(refined_parts))))
+            jnp.asarray(np.concatenate(refined_parts)),
+            center=log_center_for_band((NL - 1, NU + 1))))
 
         # ---- global position plan (host, frame-rate sized)
         plan = plan_positions_fast(speeds, hop, n)
@@ -672,13 +849,13 @@ def restore_file_fast(audio_path, f0_hz=None, tolerance_st: float = 1.0,
     ``f0_hz`` is None.  Returns the output path.
 
     ``stream``: True forces the two-pass larger-than-memory path
-    (:func:`restore_file_streamed`); "auto" switches to it when the file
-    exceeds ``stream_threshold_bytes`` on disk.
+    (:func:`restore_file_streamed`); "auto" switches to it when the DECODED
+    size (header frames x channels x 4 bytes — container bytes undercount
+    FLAC by 4-6x) exceeds ``stream_threshold_bytes``.
     """
-    from ..utils import audio_io
+    from ..utils import audio_io, streaming
 
-    if stream is True or (stream == "auto"
-                          and os.path.getsize(audio_path) > stream_threshold_bytes):
+    if streaming.should_stream(audio_path, stream, stream_threshold_bytes):
         return restore_file_streamed(
             audio_path, f0_hz=f0_hz, tolerance_st=tolerance_st,
             fft_size=fft_size, fft_overlap=fft_overlap, zeropad=zeropad,

@@ -30,3 +30,28 @@ def test_sinc_pallas_matches_banded_xla():
     got_dma = np.asarray(sinc_pallas.sinc_banded_pallas_dma(
         *args, int(plan["max_n"]), 30, drift, tile=8, interpret=True))
     np.testing.assert_allclose(got_dma, ref, atol=3e-5)
+
+
+def test_pallas_dma_unaligned_signal_length():
+    """Regression (round 3): the DMA kernel's window-start clamp was 1024 too
+    tight, corrupting the final segments whenever len(sig) was not
+    1024-aligned (always true for the flattened-takes row stride)."""
+    import jax.numpy as jnp
+
+    from pyaudiorestoration_tpu.kernels.sinc_pallas import sinc_banded_pallas_dma
+    from pyaudiorestoration_tpu.pipelines import respeeder_device as rdev
+
+    rng = np.random.default_rng(3)
+    n = 32768 + 940  # deliberately unaligned
+    sig = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.3)
+    step, max_n, nt, drift = 128, 140, 8, 8
+    T = n // step - 1
+    speeds = jnp.ones((T + 1,), jnp.float32)
+    nn = jnp.full((T,), step, jnp.int32)
+    bi = jnp.arange(T, dtype=jnp.int32) * step
+    bf = jnp.zeros((T,), jnp.float32)
+    out_p = np.asarray(sinc_banded_pallas_dma(sig, speeds, nn, bi, bf, max_n,
+                                              nt, drift, interpret=True))
+    out_x = np.asarray(rdev.sinc_banded_device(sig, speeds, nn, bi, bf, max_n,
+                                               nt, drift))
+    np.testing.assert_allclose(out_p, out_x, atol=2e-5)

@@ -1,0 +1,150 @@
+"""Streamed spectral tools vs their in-memory twins (round 3, VERDICT #2).
+
+The reference blocks big files with halos (util/fourier.py:390-407,
+experiments/pyrespeeder_cmd.py:16-49); our streamed paths must match the
+in-memory paths in the interior — renoise to ~1 ulp (same frames, same OLA
+order), heal/hpss within the kernels' float envelopes.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from pyaudiorestoration_tpu.models import markers as mk  # noqa: E402
+from pyaudiorestoration_tpu.pipelines import dropouts, hpss_tool, renoiser  # noqa: E402
+from pyaudiorestoration_tpu.utils import audio_io, streaming  # noqa: E402
+
+SR = 22050
+
+
+def _noisy_tone(n, seed=1):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / SR
+    sig = (np.sin(2 * np.pi * 880 * t) * 0.4
+           + rng.standard_normal(n).astype(np.float64) * 0.01)
+    return np.stack([sig, 0.6 * sig], -1).astype(np.float32)
+
+
+def _pair(tmp_path, x):
+    p_mem = str(tmp_path / "mem.wav")
+    p_str = str(tmp_path / "str.wav")
+    audio_io.write_wav(p_mem, x, SR)
+    audio_io.write_wav(p_str, x, SR)
+    return p_mem, p_str
+
+
+def test_decoded_bytes_and_should_stream(tmp_path):
+    x = _noisy_tone(SR)
+    p = str(tmp_path / "a.wav")
+    audio_io.write_wav(p, x, SR)
+    assert streaming.decoded_bytes(p) == SR * 2 * 4
+    assert streaming.should_stream(p, "auto", threshold_bytes=100)
+    assert not streaming.should_stream(p, "auto", threshold_bytes=1 << 30)
+    assert streaming.should_stream(p, True, threshold_bytes=1 << 60)
+
+
+def test_renoise_streamed_interior_parity(tmp_path):
+    """renoise --stream matches the in-memory masked round trip to ~1 ulp in
+    the interior (the VERDICT 'Done' criterion, scaled to CI size — the
+    engine's memory high-water is one block regardless of length)."""
+    x = _noisy_tone(int(5.3 * SR))
+    p_mem, p_str = _pair(tmp_path, x)
+    kw = dict(selection=(1.0, 2.0), gain=-30.0, fft_size=1024, fft_overlap=4)
+    o_mem = renoiser.process_file(p_mem, stream=False, **kw)
+    o_str = renoiser.process_file(p_str, stream=True, **kw)
+    a, _, _ = audio_io.read_file(o_mem)
+    b, _, _ = audio_io.read_file(o_str)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a[1024:-1024], b[1024:-1024], atol=2e-7)
+
+
+def test_heal_streamed_matches_memory(tmp_path):
+    """Streamed heal: per-box patches from local frames + max-merge equal the
+    in-memory device scan within float tolerance."""
+    n = int(4.2 * SR)
+    x = _noisy_tone(n, seed=2)
+    # carve two dropouts
+    for c0 in (int(1.5 * SR), int(2.6 * SR)):
+        x[c0:c0 + 800] *= 0.05
+    p_mem, p_str = _pair(tmp_path, x)
+    drops = [mk.DropoutSample((1.5 * SR / SR - 0.02, 500.0),
+                              (1.5 * SR / SR + 0.05, 8000.0), 0.5),
+             mk.DropoutSample((2.6 * SR / SR - 0.02, 500.0),
+                              (2.6 * SR / SR + 0.05, 8000.0), 0.5)]
+    o_mem = dropouts.heal_file(p_mem, drops, 512, 16, stream=False)
+    o_str = dropouts.heal_file(p_str, drops, 512, 16, stream=True)
+    a, _, _ = audio_io.read_file(o_mem)
+    b, _, _ = audio_io.read_file(o_str)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a[512:-512], b[512:-512], atol=1e-4)
+    # the heal actually did something
+    sig, _, _ = audio_io.read_file(p_mem)
+    assert not np.allclose(a, sig[: len(a)], atol=1e-5)
+
+
+def test_hpss_streamed_matches_memory(tmp_path):
+    """Streamed HPSS (one pass, H+P together, median halo frames) matches the
+    in-memory separation in the interior."""
+    n = int(3.7 * SR)
+    rng = np.random.default_rng(5)
+    t = np.arange(n) / SR
+    sig = (np.sin(2 * np.pi * 440 * t) * 0.4).astype(np.float32)
+    clicks = np.zeros(n, np.float32)
+    clicks[::2048] = 0.5
+    x = np.stack([sig + clicks, 0.5 * (sig + clicks)], -1)
+    p_mem, p_str = _pair(tmp_path, x)
+    outs_mem = hpss_tool.separate_file(p_mem, 1024, 4, kernel_size=17,
+                                       stream=False)
+    outs_str = hpss_tool.separate_file(p_str, 1024, 4, kernel_size=17,
+                                       stream=True)
+    assert len(outs_mem) == len(outs_str) == 2
+    for pm, ps in zip(outs_mem, outs_str):
+        a, _, _ = audio_io.read_file(pm)
+        b, _, _ = audio_io.read_file(ps)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a[2048:-2048], b[2048:-2048], atol=1e-5)
+
+
+def test_dropouts_batch_streamed_matches_memory(tmp_path):
+    """Streamed heuristic repair: frame-exact band volume curves (pass 1) and
+    a blockwise IIR cascade (pass 2) track the in-memory host-backend path in
+    the interior."""
+    n = int(4.1 * SR)
+    x = _noisy_tone(n, seed=7)
+    # punch a few dropouts into the 3-12 kHz band
+    rng = np.random.default_rng(8)
+    t = np.arange(n) / SR
+    x += (np.sin(2 * np.pi * 6000 * t) * 0.2)[:, None].astype(np.float32)
+    for c0 in (int(1.1 * SR), int(2.9 * SR)):
+        x[c0:c0 + 400] *= 0.1
+    p_mem, p_str = _pair(tmp_path, x)
+    o_mem = dropouts.process_heuristic(p_mem, 1024, 4, num_bands=6,
+                                       filter_backend="host", stream=False)
+    o_str = dropouts.process_heuristic(p_str, 1024, 4, num_bands=6,
+                                       stream=True)
+    a, _, _ = audio_io.read_file(o_mem)
+    b, _, _ = audio_io.read_file(o_str)
+    assert a.shape == b.shape
+    h = 4096
+    np.testing.assert_allclose(a[h:-h], b[h:-h], atol=1e-5)
+
+
+def test_stream_masked_stft_multi_output(tmp_path):
+    """The engine writes N output files from N factor sets in one pass."""
+    x = _noisy_tone(SR * 2)
+    p = str(tmp_path / "in.wav")
+    audio_io.write_wav(p, x, SR)
+    outs = [str(tmp_path / "h.wav"), str(tmp_path / "q.wav")]
+
+    def make_fac(spec, t_lo):
+        return [jnp.ones((), jnp.float32), jnp.full((), 0.5, jnp.float32)]
+
+    streaming.stream_masked_stft(p, outs, make_fac, 1024, 256, [0, 1])
+    a, _, _ = audio_io.read_file(outs[0])
+    b, _, _ = audio_io.read_file(outs[1])
+    np.testing.assert_allclose(b, 0.5 * a, atol=1e-7)
+    np.testing.assert_allclose(a[1024:-1024], x[1024:-1024], atol=1e-5)
