@@ -520,33 +520,56 @@ def compact_output(padded_np, plan):
     return padded_np[mask][: plan["n_out"]].astype(np.float32)
 
 
-def _split_cumsum_exclusive(x, block: int = 1024):
+def _split_cumsum_exclusive(x, block: int = 1024, sub: int = 32):
     """Exclusive cumsum of positive values as an exact (int32, frac<1) pair.
 
     float32 loses sub-sample precision once a plain cumsum exceeds ~2^24;
-    here integer parts accumulate in int32 (exact) and fractional parts in
-    small-magnitude float32 blocks, with one short scan over block carries.
-    Precision ~1e-4 regardless of total magnitude.
+    here integer parts accumulate exactly and fractional parts in TWO levels
+    of small-magnitude float32 partial sums (``sub``-element runs inside
+    ``block``-element blocks, floors extracted at each level), with one
+    short scan over block carries.  Worst-case frac error ~2e-4 regardless
+    of total magnitude, even for adversarial constant fractional parts
+    (single-level blocking admitted ~0.12 at block end; round-3 property
+    sweep, tests/test_restore_fused.py).
+
+    CONTRACT: the int32 limb overflows past 2**31 ~ 2.1e9 — about 2.2 h of
+    192 kHz output through the dither cumsum.  Longer takes must go through
+    the streamed tier (restore_file_fast auto-routes them; its host planner
+    is int64).  The sharded tier's cross-shard combine
+    (parallel/sharded.py:_split_total) reproduces the block-total arithmetic
+    here bit-for-bit, so shard totals match dense block totals exactly when
+    the shard length is a multiple of ``block``.
     """
     T = x.shape[0]
     pad = (-T) % block
-    xb = jnp.pad(x, (0, pad)).reshape(-1, block)
+    S = block // sub
+    xb = jnp.pad(x, (0, pad)).reshape(-1, S, sub)
     xi = jnp.floor(xb)
     xf = xb - xi
-    # exclusive in-block cumsums
-    ci_in = (jnp.cumsum(xi, axis=1) - xi).astype(jnp.int32)
-    cf_in = jnp.cumsum(xf, axis=1) - xf  # < block, exact to ~block*eps
+    # exclusive cumsums inside each sub run (frac magnitude <= sub)
+    ci_in = jnp.cumsum(xi, axis=-1) - xi  # exact integers (as floats)
+    cf_in = jnp.cumsum(xf, axis=-1) - xf
     cfi = jnp.floor(cf_in)
     cff = cf_in - cfi
-    # block totals, split: accumulate the frac part at <1 magnitude (cff, the
-    # NORMALIZED last-element frac) rather than the raw ~block/2-magnitude
-    # cf_in, whose ulp (~6e-5 at block=1024) would leak into every downstream
-    # block carry.  The sharded tier's cross-shard combine
-    # (parallel/sharded.py:_split_total) reproduces this exact arithmetic, so
-    # shard totals match the dense block totals bit-for-bit.
-    s_last = cff[:, -1] + xf[:, -1]  # both < 1
-    ti = (xi.sum(axis=1) + cfi[:, -1] + jnp.floor(s_last)).astype(jnp.int32)
-    tf = s_last - jnp.floor(s_last)
+    # sub-run totals, normalized
+    s_last = cff[..., -1] + xf[..., -1]
+    sti = ci_in[..., -1] + xi[..., -1] + cfi[..., -1] + jnp.floor(s_last)
+    stf = s_last - jnp.floor(s_last)
+    # exclusive prefix of sub-run totals inside the block (frac mag <= S)
+    bti = jnp.cumsum(sti, axis=-1) - sti
+    btf = jnp.cumsum(stf, axis=-1) - stf
+    bfi = jnp.floor(btf)
+    bff = btf - bfi
+    # per-element in-block combine (block offset still zero)
+    f0 = bff[..., None] + cff
+    w0 = jnp.floor(f0)
+    ints0 = bti[..., None] + bfi[..., None] + ci_in + cfi + w0  # exact ints
+    fr0 = f0 - w0
+    # block totals via the SAME formula _split_total applies to the returned
+    # arrays, so the sharded combine is bit-identical to this scan's carries
+    s2 = fr0[..., -1, -1] + xf[..., -1, -1]
+    ti = (ints0[..., -1, -1] + xi[..., -1, -1] + jnp.floor(s2)).astype(jnp.int32)
+    tf = s2 - jnp.floor(s2)
 
     def step(carry, tot):
         whole, frac = carry
@@ -557,9 +580,10 @@ def _split_cumsum_exclusive(x, block: int = 1024):
         return (whole + t_i + w.astype(jnp.int32), frac - w), out
 
     _, (off_i, off_f) = jax.lax.scan(step, (jnp.int32(0), jnp.float32(0.0)), (ti, tf))
-    carry = (off_f[:, None] + cff) >= 1.0
-    ints = off_i[:, None] + ci_in + cfi.astype(jnp.int32) + carry.astype(jnp.int32)
-    fracs = off_f[:, None] + cff - carry.astype(jnp.float32)
+    nf = off_f[:, None, None] + fr0
+    w = jnp.floor(nf)
+    ints = off_i[:, None, None] + ints0.astype(jnp.int32) + w.astype(jnp.int32)
+    fracs = nf - w
     return ints.reshape(-1)[:T], fracs.reshape(-1)[:T]
 
 
@@ -855,7 +879,12 @@ def restore_file_fast(audio_path, f0_hz=None, tolerance_st: float = 1.0,
     """
     from ..utils import audio_io, streaming
 
-    if streaming.should_stream(audio_path, stream, stream_threshold_bytes):
+    # the fused device plan carries int32 sample counts (2.1e9 cap,
+    # _split_cumsum_exclusive contract); takes that could exceed it stream
+    # unconditionally through the int64 host planner
+    int32_guard = streaming.decoded_bytes(audio_path) // 4 > (1 << 31) // 2
+    if int32_guard or streaming.should_stream(audio_path, stream,
+                                              stream_threshold_bytes):
         return restore_file_streamed(
             audio_path, f0_hz=f0_hz, tolerance_st=tolerance_st,
             fft_size=fft_size, fft_overlap=fft_overlap, zeropad=zeropad,
