@@ -295,6 +295,9 @@ def cog_sharded(mesh: Mesh, spec_mag, NL0, NU0, tolerance, fft_size: int, sr: in
     )(spec_mag, NL0, NU0)
 
 
+_FUSED_SHARDED_CACHE: dict = {}
+
+
 def _split_total(ci, cf, x):
     """Total of ``x`` as an exact (int32, frac<1) pair, given the exclusive
     split prefixes (ci, cf) of x.  1D; vmap for batches."""
@@ -351,7 +354,7 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
                           zeropad: int = 1, max_n: int = None, nt: int = 50,
                           drift: int = 32, window_name: str = "blackmanharris",
                           band=None, speed_curve=None, base_slack: int = 16,
-                          chunk_frames: int = 4096):
+                          chunk_frames: int = 4096, backend: str = "xla"):
     """The single-chip fused restoration step on a ('files', 'time') mesh.
 
     Same kernels and conventions as ``respeeder_device.restore_fused_device``
@@ -511,15 +514,30 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
         ext = jnp.concatenate([left, xb, right], axis=-1)  # (B, S + Hl + Hr)
         ext_len = S + Hl + Hr
         L = max_n + 2 * U
-        start = base_int - idx * S + Hl - U  # window starts in ext coords
+        anchors = base_int - idx * S + Hl  # window anchors in ext coords
 
-        def one_file(ext1, sl, sh, nn1, st1, bf1):
-            bs, rel, in_seg = segment_grids(sl, sh, nn1, bf1, max_n)
-            idx2 = st1[:, None] + np.arange(L)[None, :]
-            buf = ext1[jnp.clip(idx2, 0, ext_len - 1)]
-            return sinc_shift_mac(buf, bs, rel, in_seg, max_n, nt, drift)
+        if backend.startswith("pallas"):
+            # run the SAME Mosaic DMA kernel as the single-chip tier on the
+            # halo-extended local signal (shard-local windows, so the kernel
+            # applies unchanged); pallas_call has no vmap rule -> static
+            # file loop (B_local is 1-2 on real meshes)
+            from ..kernels.sinc_pallas import sinc_banded_pallas_dma_segments
 
-        padded = jax.vmap(one_file)(ext, s_lo, s_hi, nn, start, base_frac)
+            padded = jnp.stack([
+                sinc_banded_pallas_dma_segments(
+                    ext[b], s_lo[b], s_hi[b], nn[b], anchors[b], base_frac[b],
+                    max_n, nt, drift,
+                    interpret=backend == "pallas_interpret")
+                for b in range(ext.shape[0])])
+        else:
+            def one_file(ext1, sl, sh, nn1, st1, bf1):
+                bs, rel, in_seg = segment_grids(sl, sh, nn1, bf1, max_n)
+                idx2 = (st1 - U)[:, None] + np.arange(L)[None, :]
+                buf = ext1[jnp.clip(idx2, 0, ext_len - 1)]
+                return sinc_shift_mac(buf, bs, rel, in_seg, max_n, nt, drift)
+
+            padded = jax.vmap(one_file)(ext, s_lo, s_hi, nn, anchors,
+                                        base_frac)
         return padded, nn, base_int, base_frac
 
     in_specs = [P("files", "time"), P("time", None), P("time", None)]
@@ -529,14 +547,24 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
         args.append(jnp.asarray(sc_ov))
     # jit the whole sharded step: besides dispatch cost, XLA's elementwise
     # simplifications (log2/exp2 fusion) must match the jitted dense tier's
-    # ulp-for-ulp, or the centering mean drifts and flips dither roundings
-    return jax.jit(shard_map(
-        fn, mesh=mesh,
-        in_specs=tuple(in_specs),
-        out_specs=(P("files", "time", None), P("files", "time"),
-                   P("files", "time"), P("files", "time")),
-        check_vma=False,
-    ))(*args)
+    # ulp-for-ulp, or the centering mean drifts and flips dither roundings.
+    # The compiled executable is CACHED per (mesh, static config) — a fresh
+    # jit(shard_map(closure)) every call would retrace and recompile the
+    # whole step each time (measured 5.9 s/call vs 60 ms warm).
+    key = (tuple(d.id for d in mesh.devices.flat), batch, total, n_fft, step,
+           zeropad, max_n, nt, drift, window_name, (lo, hi),
+           speed_curve is not None, base_slack, chunk_frames, backend)
+    cached = _FUSED_SHARDED_CACHE.get(key)
+    if cached is None:
+        cached = jax.jit(shard_map(
+            fn, mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=(P("files", "time", None), P("files", "time"),
+                       P("files", "time"), P("files", "time")),
+            check_vma=False,
+        ))
+        _FUSED_SHARDED_CACHE[key] = cached
+    return cached(*args)
 
 
 def compact_padded_host(padded_np, n_np, n_out=None):
