@@ -181,6 +181,14 @@ def build_parser():
     sp.add_argument("--trail", type=float, nargs="+", default=None,
                     metavar="T F", help="overlay a traced Peak curve from this trail")
 
+    sp = sub.add_parser("listen", help="self-contained HTML audition page "
+                        "(playback cursor + A/B, the GUI AudioWidget headless)")
+    sp.add_argument("inputs", nargs="+", help="one or two audio files (A/B)")
+    sp.add_argument("-o", "--output", default="audition.html")
+    sp.add_argument("--start", type=float, default=0.0, help="start seconds")
+    sp.add_argument("--seconds", type=float, default=60.0,
+                    help="max embedded duration")
+
     sp = sub.add_parser("measure", help="quality metrics (flutter / SNR / spectral distance)")
     sp.add_argument("input")
     sp.add_argument("compare_to", nargs="?", default=None,
@@ -415,6 +423,25 @@ def _dispatch(args):
                 args.power, args.margin,
                 stream=True if args.stream else "auto"))
         print(json.dumps({"outputs": outs}))
+    elif args.cmd == "listen":
+        from .models import audition
+        from .utils import audio_io
+        takes = []
+        sr = None
+        for path in args.inputs:
+            sig, sr_i, _ = audio_io.read_file(path)
+            if sr is None:
+                sr = sr_i
+            elif sr_i != sr:
+                raise ValueError("all takes must share one sample rate")
+            s0 = int(args.start * sr)
+            import os as _os
+            takes.append((_os.path.basename(path), sig[s0:]))
+        out = audition.save_audition_html(args.output, takes, sr,
+                                          title=" vs ".join(
+                                              n for n, _ in takes),
+                                          max_seconds=args.seconds)
+        print(json.dumps({"outputs": [out]}))
     elif args.cmd == "bench":
         import runpy
         runpy.run_path("bench.py", run_name="__main__")

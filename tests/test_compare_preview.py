@@ -185,3 +185,29 @@ def test_interactive_compare_html(tmp_path, flutter):
     assert meta["w"] == mag.shape[1] + off
     with pytest.raises(ValueError):
         viz_html.save_interactive_compare_html(out, mag, mag[:-1], sr, 256)
+
+
+def test_audition_html_page(tmp_path):
+    """The headless playback page (GUI AudioWidget + CursorUpdater
+    equivalent): two takes embed as 16-bit WAV data URIs with spectrogram
+    lanes, an rAF-driven cursor, and A/B switching."""
+    import numpy as np
+
+    from pyaudiorestoration_tpu.models import audition
+
+    sr = 8000
+    t = np.arange(2 * sr) / sr
+    a = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    out = audition.save_audition_html(
+        str(tmp_path / "aud.html"), [("orig", a), ("restored", 0.5 * a)], sr,
+        title="t </script>")
+    h = open(out, encoding="utf-8").read()
+    assert h.count("<audio") == 2
+    assert h.count("audio/wav;base64") == 2
+    assert "requestAnimationFrame" in h and "toggle()" in h
+    assert "</script><" not in h.split("<script>")[0]  # title escaped
+    # 16-bit payload decodes back to the tone
+    import base64
+    b64 = h.split('audio/wav;base64,')[1].split('"')[0]
+    wav = base64.b64decode(b64)
+    assert wav[:4] == b"RIFF" and len(wav) == 44 + 2 * sr * 2
