@@ -36,7 +36,7 @@ from ..ops.resampling import _sinc_window
 
 __all__ = ["track_speed_device", "track_peaks_span", "plan_positions",
            "restore_fused_takes", "segment_grids", "segment_advances",
-           "sinc_shift_mac",
+           "sinc_shift_mac", "run_banded_sinc",
            "sinc_padded_device", "restore_device", "compact_output",
            "restore_file_fast", "restore_file_streamed"]
 
@@ -587,6 +587,28 @@ def _split_cumsum_exclusive(x, block: int = 1024, sub: int = 32):
     return ints.reshape(-1)[:T], fracs.reshape(-1)[:T]
 
 
+def run_banded_sinc(sig_dev, speeds, n, base_int, base_frac, max_n: int,
+                    nt: int, drift: int, backend: str = "auto"):
+    """Backend-dispatched banded sinc for (C, n) or (n,) device signals:
+    the Pallas DMA kernel on TPU (4.7x the XLA formulation at long takes,
+    docs/BENCHMARKS.md), the XLA shift-MAC elsewhere.  Channels flatten
+    into the segment axis for the Pallas path (one kernel stream)."""
+    backend = _sinc_backend(backend)
+    if backend != "pallas":
+        return sinc_banded_device(sig_dev, speeds, n, base_int, base_frac,
+                                  max_n, nt, drift)
+    x = sig_dev if sig_dev.ndim == 2 else sig_dev[None]
+    C = x.shape[0]
+    flat = _flatten_takes(
+        x, jnp.broadcast_to(speeds, (C,) + speeds.shape),
+        jnp.broadcast_to(n, (C,) + n.shape),
+        jnp.broadcast_to(base_int, (C,) + base_int.shape),
+        jnp.broadcast_to(base_frac, (C,) + base_frac.shape), max_n, nt, drift)
+    out = _sinc_segments_backend(flat, max_n, nt, drift, "pallas")
+    out = out.reshape(C, -1, max_n)
+    return out if sig_dev.ndim == 2 else out[0]
+
+
 def _sinc_backend(backend: str):
     if backend == "auto":
         import jax as _jax
@@ -843,7 +865,7 @@ def restore_file_streamed(audio_path, f0_hz=None, tolerance_st: float = 1.0,
                 bf_t[:nseg] = plan["base_frac"][a:b]
                 s_t = np.ones(seg_tile + 1, np.float32)
                 s_t[: nseg + 1] = speeds32[a: b + 1]
-                padded = np.asarray(sinc_banded_device(
+                padded = np.asarray(run_banded_sinc(
                     sig_dev, jnp.asarray(s_t), jnp.asarray(n_t),
                     jnp.asarray(bi_t), jnp.asarray(bf_t), max_n, nt, drift))
                 mask = np.arange(max_n)[None, :] < n_t[:, None]
@@ -910,7 +932,7 @@ def restore_file_fast(audio_path, f0_hz=None, tolerance_st: float = 1.0,
     while drift < plan["drift"]:
         drift *= 2
     sig_dev = jnp.asarray(np.ascontiguousarray(signal[:, channels].T))  # (C, n)
-    padded = np.asarray(sinc_banded_device(
+    padded = np.asarray(run_banded_sinc(
         sig_dev, jnp.asarray(speeds.astype(np.float32)), jnp.asarray(plan["n"]),
         jnp.asarray(plan["base_int"]), jnp.asarray(plan["base_frac"]),
         int(plan["max_n"]), int(sinc_quality), drift))
@@ -942,7 +964,7 @@ def restore_device(sig_dev, sr: int, f0_hz: float, tolerance_st: float = 1.0,
     drift = 8
     while drift < plan["drift"]:
         drift *= 2
-    padded = sinc_banded_device(
+    padded = run_banded_sinc(
         sig_dev, jnp.asarray(speeds_np.astype(np.float32)),
         jnp.asarray(plan["n"]), jnp.asarray(plan["base_int"]),
         jnp.asarray(plan["base_frac"]), int(plan["max_n"]), int(sinc_quality),
