@@ -382,6 +382,14 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
     speed override (project-replay / master-curve path, pyrespeeder_gui.py:
     133-140) — skips tracking.  Returns (padded, n, base_int, base_frac):
     (files, T, max_n) output grid and (files, T) plan arrays, T = n//step.
+
+    Length contract: unlike the single-chip tier (HBM-bound long before
+    int32), recordings past 2**31 samples are CORRECT on-device here — the
+    global int32 cumsums wrap, but every on-device consumer (count diffs,
+    window starts ``base_int - shard_start``) takes small DIFFERENCES of
+    equally-wrapped values, which two's-complement arithmetic recovers
+    exactly.  Only the RETURNED ``base_int`` is then wrapped mod 2**32;
+    hosts can unwrap it by monotonicity when compacting.
     """
     from ..pipelines.respeeder_device import (
         _banded_dft_matrix, exact_log_center, log_center_for_band,
