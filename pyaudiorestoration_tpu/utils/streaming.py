@@ -45,6 +45,9 @@ def virtual_read(reader, a: int, b: int, pad: int, channels):
     idx = np.arange(a, b)
     idx = np.where(idx < 0, -idx, idx)                    # left reflect
     idx = np.where(idx >= n_pad, 2 * (n_pad - 1) - idx, idx)  # right reflect
+    # spans can outrun even the reflected range (fixed-shape tail blocks on
+    # short files); those frames are zeroed by the caller, so clamp
+    idx = np.clip(idx, 0, max(n_pad - 1, 0))
     out = np.zeros((b - a, len(channels)), np.float32)
     real = idx < n
     if real.any():
@@ -98,6 +101,11 @@ def stream_masked_stft(in_path, out_path, make_fac, fft_size: int, hop: int,
         with contextlib.ExitStack() as stack:
             writers = [stack.enter_context(
                 audio_io.StreamWriter(p, sr, len(chans))) for p in out_paths]
+            # fixed per-block frame counts: the tail block READS the same
+            # span shape (virtual_read reflects past the end) and pads its
+            # masked spec with zero frames, so every device call in the loop
+            # compiles once per file regardless of the tail length
+            t_span = block_frames + 2 * mask_halo_frames + (fft_size // hop) + 2
             s0 = 0
             while s0 < n:
                 s1 = min(n, s0 + block_frames * hop)
@@ -107,11 +115,17 @@ def stream_masked_stft(in_path, out_path, make_fac, fft_size: int, hop: int,
                 te_lo = max(0, t_lo - mask_halo_frames)
                 te_hi = min(T, t_hi + mask_halo_frames)
                 a = te_lo * hop - pad  # span in padded-signal coords
-                b = (te_hi - 1) * hop - pad + fft_size
+                b = (te_lo + t_span - 1) * hop - pad + fft_size
                 span = virtual_read(reader, a, b, pad, chans)  # (len, C)
                 spec = fourier.stft(jnp.asarray(span.T), n_fft=fft_size,
                                     step=hop, window_name=window_name,
                                     zeropad=zeropad, center=False)
+                # frames beyond te_hi are reflect-padding artifacts; zero
+                # them so they never contribute (their OLA windows lie past
+                # the emitted range anyway)
+                t_keep = te_hi - te_lo
+                frame_ok = (np.arange(t_span) < t_keep).astype(np.float32)
+                spec = spec * jnp.asarray(frame_ok)
                 facs = make_fac(spec, te_lo)
                 if not isinstance(facs, (list, tuple)):
                     facs = [facs]
@@ -120,7 +134,9 @@ def stream_masked_stft(in_path, out_path, make_fac, fft_size: int, hop: int,
                 # same order as the global one, so interior division is exact
                 env = None
                 for fac, writer in zip(facs, writers):
-                    sp = (spec * fac)[..., lo_cut: lo_cut + (t_hi - t_lo)]
+                    sp = (spec * fac)[..., lo_cut:]
+                    mask2 = (np.arange(sp.shape[-1]) < (t_hi - t_lo)).astype(np.float32)
+                    sp = sp * jnp.asarray(mask2)
                     y = np.asarray(fourier.istft_frames_raw(
                         sp, hop, window_name, zeropad))  # (C, span_out)
                     if env is None:
