@@ -357,7 +357,8 @@ def process_heuristic_streamed(file_path, fft_size=1024, fft_overlap=4,
                 lo = max(0, s0 - halo)
                 hi = min(n, s1 + halo)
                 sig = r.read(lo, hi - lo).T.astype(np.float64)  # (C, len)
-                xs = np.linspace(0.0, 1.0, n)[lo:hi]
+                # linspace(0,1,n)[lo:hi] without materializing n elements
+                xs = np.arange(lo, hi, dtype=np.float64) * (1.0 / (n - 1))
                 for bi, (fl, fu) in enumerate(band_pairs):
                     wv = np.stack([np.interp(xs, x_old, fac_all[c, bi] - 1.0)
                                    for c in range(C)])

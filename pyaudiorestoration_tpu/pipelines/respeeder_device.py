@@ -846,7 +846,14 @@ def restore_file_streamed(audio_path, f0_hz=None, tolerance_st: float = 1.0,
         speeds32 = speeds.astype(np.float32)
         out_path = f"{os.path.splitext(audio_path)[0]}_res{suffix}.wav"
 
-        # ---- pass 2: tile the segment axis, re-read input windows, append
+        # ---- pass 2: tile the segment axis, re-read input windows, append.
+        # The read span is padded to a FIXED length so the device kernel
+        # compiles once for the whole file (per-tile anchor spreads vary by a
+        # few samples; zeros beyond the real span are never inside a window)
+        bi_all = plan["base_int"]
+        span_fix = max(
+            int(bi_all[min(T, a + seg_tile) - 1]) - int(bi_all[a])
+            for a in range(0, T, seg_tile)) + max_n + 2 * U + 2
         written = 0
         with audio_io.StreamWriter(out_path, sr, len(channels)) as writer:
             for a in range(0, T, seg_tile):
@@ -856,6 +863,9 @@ def restore_file_streamed(audio_path, f0_hz=None, tolerance_st: float = 1.0,
                 hi = int(plan["base_int"][b - 1]) + max_n + U + 2
                 rlo, rhi = max(0, lo), min(n, hi)
                 buf = reader.read(rlo, rhi - rlo)[:, channels]  # (span, C)
+                pad_s = span_fix - buf.shape[0]
+                if pad_s > 0:
+                    buf = np.pad(buf, ((0, pad_s), (0, 0)))
                 sig_dev = jnp.asarray(np.ascontiguousarray(buf.T))
                 n_t = np.zeros(seg_tile, np.int32)
                 n_t[:nseg] = plan["n"][a:b]
