@@ -65,10 +65,17 @@ def build_parser():
     sp = sub.add_parser("respeed-batch",
                         help="data-parallel wow/flutter fix over the device mesh")
     sp.add_argument("inputs", nargs="+")
-    sp.add_argument("--f0", type=float, required=True,
-                    help="pilot/target frequency to track")
+    sp.add_argument("--f0", type=float, default=None,
+                    help="pilot/target frequency to track (fused tier "
+                         "auto-probes when omitted)")
     sp.add_argument("--fft-size", type=int, default=512)
     sp.add_argument("--step", type=int, default=128)
+    sp.add_argument("--tier", default="fused", choices=["fused", "fixed"],
+                    help="fused = the fast single-chip kernels on the mesh "
+                         "(banded-DFT + quality sinc); fixed = the "
+                         "fixed-length linear tier")
+    sp.add_argument("--sinc-quality", type=int, default=50)
+    sp.add_argument("--zeropad", type=int, default=1)
 
     sp = sub.add_parser("tapesync", help="align source to reference (pytapesynch)")
     sp.add_argument("reference")
@@ -244,8 +251,17 @@ def _dispatch(args):
         print(json.dumps({"outputs": out}))
     elif args.cmd == "respeed-batch":
         from .parallel import batch
-        outs = batch.restore_batch_files(args.inputs, args.f0,
-                                         n_fft=args.fft_size, step=args.step)
+        if args.tier == "fused":
+            outs = batch.restore_batch_files_fused(
+                args.inputs, args.f0, fft_size=args.fft_size,
+                fft_overlap=max(1, args.fft_size // args.step),
+                zeropad=args.zeropad, sinc_quality=args.sinc_quality)
+        else:
+            if args.f0 is None:
+                raise ValueError("--tier fixed requires --f0")
+            outs = batch.restore_batch_files(args.inputs, args.f0,
+                                             n_fft=args.fft_size,
+                                             step=args.step)
         print(json.dumps({"outputs": outs}))
     elif args.cmd == "tapesync":
         from .pipelines import tapesynch

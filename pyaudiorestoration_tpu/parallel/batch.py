@@ -14,7 +14,8 @@ from ..utils import audio_io
 from . import mesh as pmesh
 from . import sharded
 
-__all__ = ["load_batch", "restore_batch", "restore_batch_files"]
+__all__ = ["load_batch", "restore_batch", "restore_batch_files",
+           "restore_batch_files_fused"]
 
 
 def load_batch(paths, multiple: int = 1, channel: int = 0):
@@ -44,6 +45,62 @@ def restore_batch(mesh, batch, f0_hz, sr, **kwargs):
     """Sharded restore step over an already-built (files, time) batch."""
     xs = pmesh.shard_time_batch(mesh, batch)
     return sharded.restore_step(mesh, xs, f0_hz, sr, **kwargs)
+
+
+def restore_batch_files_fused(paths, f0_hz=None, tolerance_st: float = 1.0,
+                              fft_size: int = 4096, fft_overlap: int = 8,
+                              zeropad: int = 2, sinc_quality: int = 50,
+                              drift: int = 32, n_files_axis=None,
+                              out_suffix="_res", backend: str = "auto"):
+    """End-to-end FAST-TIER batch restore over the mesh: read files ->
+    ('files','time') mesh -> ``restore_fused_sharded`` (banded-DFT tracking,
+    exact dithered plan, quality-taps banded sinc — the same kernels as the
+    single-chip flagship) -> host compaction -> write ``*_res`` files.
+
+    Each file tracks its OWN speed curve (independent takes).  Files pad to
+    a common length; the padded tail tracks band noise, which perturbs the
+    take's centering mean by at most ``tolerance_st * tail_fraction``
+    semitones — batch takes of similar length for best fidelity.
+    ``f0_hz=None`` probes the pilot tone from the first file.
+    """
+    import jax
+
+    from ..pipelines.respeeder_device import (_band_limits, _probe_f0,
+                                              _sinc_backend)
+
+    step = fft_size // fft_overlap
+    n_dev = len(jax.devices())
+    n_files_axis = n_files_axis or max(1, min(len(paths), n_dev))
+    while n_dev % n_files_axis:
+        n_files_axis -= 1
+    mesh = pmesh.make_mesh(n_files=n_files_axis, n_time=n_dev // n_files_axis)
+    n_time = mesh.shape["time"]
+    backend = {"auto": _sinc_backend("auto")}.get(backend, backend)
+    out_paths = []
+    for i in range(0, len(paths), n_files_axis):
+        group = paths[i:i + n_files_axis]
+        pad_group = list(group) + [group[-1]] * (n_files_axis - len(group))
+        batch, sr, lengths = load_batch(pad_group, multiple=n_time * step)
+        n = batch.shape[1]
+        if f0_hz is None:
+            f0_hz = _probe_f0(batch[0], sr)
+        NLv, NUv = _band_limits(f0_hz, tolerance_st, fft_size, zeropad, sr)
+        F = n // step + 1
+        NL = np.full(F, NLv, np.int32)
+        NU = np.full(F, NUv, np.int32)
+        xs = pmesh.shard_time_batch(mesh, batch)
+        padded, nn, bi, bf = sharded.restore_fused_sharded(
+            mesh, xs, NL, NU, fft_size, step, zeropad,
+            max_n=int(step * 1.25), nt=int(sinc_quality), drift=drift,
+            backend=backend)
+        padded = np.asarray(padded)
+        nn = np.asarray(nn)
+        for path, row, counts, length in zip(group, padded, nn, lengths):
+            t_real = min(len(counts), -(-length // step))
+            flat = sharded.compact_padded_host(row[:t_real], counts[:t_real])
+            out_paths.append(audio_io.write_file(path, flat, sr, 1,
+                                                 suffix=out_suffix))
+    return out_paths
 
 
 def restore_batch_files(paths, f0_hz, n_files_axis=None, out_suffix="_res", **kwargs):

@@ -123,6 +123,25 @@ def test_sharded_speed_curve_replay():
     np.testing.assert_allclose(pad_s[0], pad_d, atol=2e-5)
 
 
+def test_sharded_pallas_backend_matches_xla():
+    """backend='pallas' runs the same Mosaic DMA kernel the single-chip tier
+    uses, on halo-extended local shards; interpret mode here, real Mosaic on
+    TPU (the r03 trace).  Output stays within the kernel envelope of the
+    sharded XLA formulation and the plan arrays are identical."""
+    n_time, Tl = 4, 1024
+    n = Tl * STEP * n_time
+    x = _wobble_take(n)[None, :]
+    NL, NU = _bands(n)
+    mesh = _mesh(1, n_time)
+    xs = pmesh.shard_time_batch(mesh, x)
+    args = (mesh, xs, NL, NU, NFFT, STEP, ZP, MAX_N, 16, 8)
+    px, nx, _, _ = sharded.restore_fused_sharded(*args, band=BAND)
+    pp, np_, _, _ = sharded.restore_fused_sharded(*args, band=BAND,
+                                                  backend="pallas_interpret")
+    assert np.array_equal(np.asarray(nx), np.asarray(np_))
+    np.testing.assert_allclose(np.asarray(px), np.asarray(pp), atol=2e-5)
+
+
 def test_adaptive_peak_sharded_matches_dense_scan():
     """Sequential adapt_band tracking across time shards (4-deep history
     carry over ppermute) is bit-identical to the dense lax.scan — both run
@@ -173,6 +192,34 @@ def test_lag_resample_sharded_matches_dense():
     np.testing.assert_allclose(out[0, 200:m - 200], y_ref[200:m - 200],
                                atol=5e-5)
     np.testing.assert_allclose(out[1], 0.5 * out[0], atol=5e-6)
+
+
+def test_restore_batch_files_fused_end_to_end(tmp_path):
+    """File-level fast-tier batch over the mesh: two wobbling takes in, two
+    restored files out, each measurably steadier (the usable product path
+    for the distributed tier, not just the dryrun kernel)."""
+    from pyaudiorestoration_tpu.parallel import batch
+    from pyaudiorestoration_tpu.utils import audio_io, metrics
+
+    n = 8 * STEP * 1024
+    paths = []
+    for i, depth in enumerate((0.01, 0.014)):
+        x = _wobble_take(n, depth=depth, rates=(1.1 + i,))
+        p = str(tmp_path / f"take{i}.wav")
+        audio_io.write_wav(p, x, SR)
+        paths.append(p)
+    outs = batch.restore_batch_files_fused(
+        paths, f0_hz=F0, tolerance_st=1.0, fft_size=NFFT,
+        fft_overlap=NFFT // STEP, zeropad=ZP, sinc_quality=16, drift=16,
+        backend="xla")
+    assert len(outs) == 2
+    for p_in, p_out in zip(paths, outs):
+        a, sr, _ = audio_io.read_file(p_in)
+        b, _, _ = audio_io.read_file(p_out)
+        assert abs(len(b) - len(a)) < 4 * STEP
+        f_in = metrics.flutter(a, sr)
+        f_out = metrics.flutter(b, sr)
+        assert f_out < f_in / 3, (f_in, f_out)
 
 
 def test_compact_padded_host_roundtrip():
