@@ -142,6 +142,8 @@ def build_parser():
     sp.add_argument("--smoothing-s", type=float, default=0.11)
     sp.add_argument("--transition", type=float, default=0)
     sp.add_argument("--order", type=int, default=1)
+    sp.add_argument("--stream", action="store_true",
+                    help="force the blockwise larger-than-memory path")
 
     sp = sub.add_parser("humspeed", help="hum-based speed analysis/correction")
     sp.add_argument("input")
@@ -376,7 +378,8 @@ def _dispatch(args):
             args.input, channel_mode=args.channels, band_lower=args.band_lower,
             band_upper=args.band_upper, clip_lower=args.clip_lower,
             clip_upper=args.clip_upper, smoothing_s=args.smoothing_s,
-            transition=args.transition, order=args.order)
+            transition=args.transition, order=args.order,
+            stream=True if args.stream else "auto")
         print(json.dumps({"outputs": [out]}))
     elif args.cmd == "humspeed":
         from .pipelines import humspeed

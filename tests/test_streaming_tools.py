@@ -148,3 +148,28 @@ def test_stream_masked_stft_multi_output(tmp_path):
     b, _, _ = audio_io.read_file(outs[1])
     np.testing.assert_allclose(b, 0.5 * a, atol=1e-7)
     np.testing.assert_allclose(a[1024:-1024], x[1024:-1024], atol=1e-5)
+
+
+def test_expander_streamed_matches_memory(tmp_path):
+    """Streamed expansion: frame-exact envelopes + blockwise gain/split +
+    copy-normalize match the in-memory expander in the interior."""
+    from pyaudiorestoration_tpu.pipelines import expander
+
+    n = int(4.4 * SR)
+    rng = np.random.default_rng(11)
+    t = np.arange(n) / SR
+    hiss = rng.standard_normal(n).astype(np.float64) * 0.003
+    amp = 0.02 + 0.3 * (np.sin(2 * np.pi * 0.4 * t) > 0)
+    sig = (np.sin(2 * np.pi * 15000 * t) * amp + hiss)
+    x = np.stack([sig, 0.8 * sig], -1).astype(np.float32)
+    p_mem, p_str = _pair(tmp_path, x)
+    kw = dict(channel_mode="L+R", fft_size=512, band_lower=13000,
+              band_upper=17000, clip_lower=-60, clip_upper=-25,
+              transition=8000)
+    o_mem = expander.expand_file(p_mem, stream=False, **kw)
+    o_str = expander.expand_file(p_str, stream=True, **kw)
+    a, _, _ = audio_io.read_file(o_mem)
+    b, _, _ = audio_io.read_file(o_str)
+    assert a.shape == b.shape
+    h = 4096
+    np.testing.assert_allclose(a[h:-h], b[h:-h], atol=2e-4)
