@@ -173,3 +173,21 @@ def test_expander_streamed_matches_memory(tmp_path):
     assert a.shape == b.shape
     h = 4096
     np.testing.assert_allclose(a[h:-h], b[h:-h], atol=2e-4)
+
+
+def test_flat_spectrum_streamed_matches_memory(tmp_path):
+    """Blockwise temporal-mean spectra (the difeq analysis input) match the
+    in-memory mean to float tolerance."""
+    from pyaudiorestoration_tpu.models import spectrum_flat
+
+    x = _noisy_tone(int(3.3 * SR), seed=13)
+    p = str(tmp_path / "a.wav")
+    audio_io.write_wav(p, x, SR)
+    for mode in ("L", "L+R", "Mean"):
+        s_mem, sr1 = spectrum_flat.spectra_from_audio(p, 2048, 512, mode,
+                                                      stream=False)
+        s_str, sr2 = spectrum_flat.spectra_from_audio(p, 2048, 512, mode,
+                                                      stream=True)
+        assert sr1 == sr2 and len(s_mem) == len(s_str)
+        for a, b in zip(s_mem, s_str):
+            np.testing.assert_allclose(a, b, atol=1e-3)
