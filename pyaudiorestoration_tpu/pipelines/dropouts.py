@@ -208,11 +208,14 @@ def _heal_file_streamed(file_path, dropouts, fft_size, fft_overlap, channels,
                 continue
             t_lo = max(0, fb - surr)
             t_hi = min(T, fa + surr)
+            # bucket the span to 64-frame multiples so box-size variety does
+            # not mean one compile per distinct box (extra frames sliced off)
+            t_bucket = -(-(t_hi - t_lo) // 64) * 64
             a = t_lo * hop - pad
-            b = (t_hi - 1) * hop - pad + fft_size
+            b = (t_lo + t_bucket - 1) * hop - pad + fft_size
             span = streaming.virtual_read(r, a, b, pad, chans)
             spec = fourier.stft(jnp.asarray(span.T), n_fft=fft_size, step=hop,
-                                center=False)
+                                center=False)[..., :t_hi - t_lo]
             spec_db = 20.0 * np.log10(np.abs(np.asarray(spec)) + 1e-7)
             loc = lambda t: t - t_lo
             before = spec_db[:, bl:bu, loc(max(0, fb - surr)):loc(fb)]
