@@ -191,3 +191,14 @@ def test_flat_spectrum_streamed_matches_memory(tmp_path):
         assert sr1 == sr2 and len(s_mem) == len(s_str)
         for a, b in zip(s_mem, s_str):
             np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_heal_streamed_no_dropouts_is_identity_roundtrip(tmp_path):
+    """No markers -> the streamed masked round trip acts as an interior
+    identity (and does not crash on an empty patch list)."""
+    x = _noisy_tone(SR)
+    p = str(tmp_path / "a.wav")
+    audio_io.write_wav(p, x, SR)
+    out = dropouts.heal_file(p, [], 512, 16, stream=True)
+    b, _, _ = audio_io.read_file(out)
+    np.testing.assert_allclose(b[512:-512], x[512:-512], atol=1e-5)
