@@ -26,7 +26,18 @@ __all__ = ["sinc_banded_pallas", "sinc_banded_pallas_dma",
            "sinc_banded_pallas_dma_segments"]
 
 
-def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=128):
+def _recip(d, approx_rcp: bool):
+    """1/d — hardware approximate reciprocal refined by one Newton step when
+    ``approx_rcp`` (f32 relative error ~1e-7, vs a multi-cycle exact divide
+    per lane-pass), plain division otherwise (interpret mode)."""
+    if not approx_rcp:
+        return 1.0 / d
+    r0 = pl.reciprocal(d, approx=True)
+    return r0 * (2.0 - d * r0)
+
+
+def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=128,
+               approx_rcp=False):
     """Shared shift-MAC loop for both Pallas kernels, with the per-pass
     sin/cos evaluations replaced by plane-rotation recurrences.
 
@@ -83,12 +94,16 @@ def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=128):
         if series_needed:
             px2 = (pif * x) * (pif * x)
             series = 1.0 - px2 / 6.0 * (1.0 - px2 / 20.0 * (1.0 - px2 / 42.0))
-            sinc = jnp.where(jnp.abs(x) < 0.25, series, s / (pif * x))
+            d = pif * x
+            q = s * _recip(jnp.where(jnp.abs(d) < 1e-6, np.float32(1e-6), d),
+                           approx_rcp)
+            sinc = jnp.where(jnp.abs(x) < 0.25, series, q)
         else:
             # masked (in_seg == 0) lanes carry unbounded m and can still land
             # on x ~ 0 here; keep the quotient finite so 0 * sinc stays 0
             d = pif * x
-            sinc = s / jnp.where(jnp.abs(d) < 1e-4, np.float32(1e-4), d)
+            sinc = s * _recip(jnp.where(jnp.abs(d) < 1e-4, np.float32(1e-4), d),
+                              approx_rcp)
         hann = 0.5 - 0.5 * hc
         w = sinc * fc * hann * in_seg
         if not all_valid:
@@ -106,13 +121,16 @@ def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=128):
     return acc
 
 
-def _kernel(buf_ref, bs_ref, rel_ref, mask_ref, out_ref, *, nt, drift, max_n):
+def _kernel(buf_ref, bs_ref, rel_ref, mask_ref, out_ref, *, nt, drift, max_n,
+            approx_rcp=False):
     out_ref[...] = _shift_mac(buf_ref[...], bs_ref[...], rel_ref[...],
-                              mask_ref[...], nt=nt, drift=drift, max_n=max_n)
+                              mask_ref[...], nt=nt, drift=drift, max_n=max_n,
+                              approx_rcp=approx_rcp)
 
 
 def _kernel_dma(starts_ref, sig_ref, bs_ref, rel_ref, mask_ref, offs_ref,
-                out_ref, buf_ref, sem, *, nt, drift, max_n, tile, L_pad):
+                out_ref, buf_ref, sem, *, nt, drift, max_n, tile, L_pad,
+                approx_rcp=False):
     """DMA variant: each segment row copies its contiguous signal window from
     HBM into VMEM (strided row DMAs beat XLA's scalar-rate gather), then the
     shift-MAC loop runs on the VMEM-resident buffer.
@@ -150,7 +168,8 @@ def _kernel_dma(starts_ref, sig_ref, bs_ref, rel_ref, mask_ref, offs_ref,
     # measured identical — but the smaller span frees VMEM for larger max_n)
     L_use = -(-(max_n + 2 * U) // 128) * 128
     out_ref[...] = _shift_mac(buf[:, :L_use], bs_ref[...], rel_ref[...],
-                              mask_ref[...], nt=nt, drift=drift, max_n=max_n)
+                              mask_ref[...], nt=nt, drift=drift, max_n=max_n,
+                              approx_rcp=approx_rcp)
 
 
 @functools.partial(jax.jit, static_argnames=("max_n", "nt", "drift", "tile",
@@ -213,7 +232,8 @@ def sinc_banded_pallas_dma_segments(sig, s_lo_a, s_hi_a, n, base_int,
     max_start = sig_p.shape[0] - L_pad
 
     kernel = functools.partial(_kernel_dma, nt=nt, drift=drift, max_n=max_n,
-                               tile=tile, L_pad=L_pad)
+                               tile=tile, L_pad=L_pad,
+                               approx_rcp=not interpret)
 
     def run_chunk(s_lo, s_hi, nn, bi, bf):
         Tc = nn.shape[0]
@@ -301,7 +321,8 @@ def sinc_banded_pallas(sig, speeds, n, base_int, base_frac, max_n: int,
         in_seg = jnp.pad(in_seg, ((0, pad_t), (0, 0)))
     Tp = T + pad_t
 
-    kernel = functools.partial(_kernel, nt=nt, drift=drift, max_n=max_n)
+    kernel = functools.partial(_kernel, nt=nt, drift=drift, max_n=max_n,
+                               approx_rcp=not interpret)
     out = pl.pallas_call(
         kernel,
         grid=(Tp // tile,),
