@@ -76,36 +76,40 @@ def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=128,
     # (|pi x| is provably >= ~2 away from the removable singularity).
     fc_lo = 1.0 / (1.0 + max(drift - 2, 0) / max(max_n, 1))
 
+    # both recurrences are LINEAR, so constant per-lane factors fold into the
+    # seeds: (s, c) carry sin/cos(pi x) * fc * in_seg (the sinc quotient's
+    # numerator scale), and (ha, hb) carry 0.5*cos/sin of the hann phase so
+    # the taper is one subtract per pass instead of mul+sub
+    fcm = fc * in_seg
     acc = jnp.zeros(bs.shape, jnp.float32)
-    s = c = hs = hc = None
+    s = c = ha = hb = None
     # static unrolled shift loop: Mosaic lowers static rolls to lane shifts
     for v in range(2 * U):
         jf = (float(v) - U) - m
         x = (jf - shift) * fc
         if v % refresh == 0:  # exact re-seed
-            s = jnp.sin(pif * x)
-            c = jnp.cos(pif * x)
+            s = jnp.sin(pif * x) * fcm
+            c = jnp.cos(pif * x) * fcm
             th = (pif / nt) * (jf + float(nt))
-            hs = jnp.sin(th)
-            hc = jnp.cos(th)
+            ha = 0.5 * jnp.cos(th)
+            hb = 0.5 * jnp.sin(th)
         all_valid = (v - U - drift >= -nt) and (v - U + drift <= nt - 1)
         min_abs_jf = max(0, abs(v - U) - drift)
         series_needed = (min_abs_jf - 0.5) * fc_lo < 0.25
         if series_needed:
             px2 = (pif * x) * (pif * x)
-            series = 1.0 - px2 / 6.0 * (1.0 - px2 / 20.0 * (1.0 - px2 / 42.0))
+            series = (1.0 - px2 / 6.0 * (1.0 - px2 / 20.0 * (1.0 - px2 / 42.0))) * fcm
             d = pif * x
             q = s * _recip(jnp.where(jnp.abs(d) < 1e-6, np.float32(1e-6), d),
                            approx_rcp)
-            sinc = jnp.where(jnp.abs(x) < 0.25, series, q)
+            sincf = jnp.where(jnp.abs(x) < 0.25, series, q)
         else:
             # masked (in_seg == 0) lanes carry unbounded m and can still land
             # on x ~ 0 here; keep the quotient finite so 0 * sinc stays 0
             d = pif * x
-            sinc = s * _recip(jnp.where(jnp.abs(d) < 1e-4, np.float32(1e-4), d),
-                              approx_rcp)
-        hann = 0.5 - 0.5 * hc
-        w = sinc * fc * hann * in_seg
+            sincf = s * _recip(jnp.where(jnp.abs(d) < 1e-4, np.float32(1e-4), d),
+                               approx_rcp)
+        w = sincf * (0.5 - ha)
         if not all_valid:
             valid = (jf >= -nt) & (jf < nt)
             w = jnp.where(valid, w, 0.0)
@@ -117,7 +121,7 @@ def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=128,
         seg = (buf if v == 0 else pltpu.roll(buf, L - v, axis=1))[:, :max_n]
         acc = acc + seg * w
         s, c = s * cf + c * sf, c * cf - s * sf
-        hc, hs = hc * chd - hs * shd, hs * chd + hc * shd
+        ha, hb = ha * chd - hb * shd, hb * chd + ha * shd
     return acc
 
 
