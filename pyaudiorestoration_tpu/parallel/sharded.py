@@ -763,11 +763,14 @@ def _masked_peak_local(spec_local, nl, nu):
 def restore_step(mesh: Mesh, x, f0_hz: float, sr: int, n_fft: int = 512,
                  step: int = 128, tolerance_st: float = 2.0, drift_halo: int = 256,
                  interp: str = "linear", nt: int = 8, band=None):
-    """Full sharded wow/flutter restoration step — the flagship pipeline.
+    """Fixed-length sharded wow/flutter restoration step.
 
     (files, time) batch -> sharded STFT -> frame-parallel peak tracking ->
     global speed normalization (psum over time) -> fixed-length varispeed
-    linear resample with a bounded drift halo -> restored (files, time).
+    resample with a bounded drift halo (linear, or the banded shift-MAC sinc
+    with segment-local anchors) -> restored (files, time).  The
+    length-preserving tier; the flagship variable-length pipeline with the
+    exact dither plan is :func:`restore_fused_sharded`.
 
     ``band``: optional per-frame int32 band arrays (NL, NU) of global length
     ``total // step`` — trail-driven tracking (the multi-chip analogue of
@@ -827,24 +830,37 @@ def restore_step(mesh: Mesh, x, f0_hz: float, sr: int, n_fft: int = 512,
             g0 = jnp.take_along_axis(ext_sig, i0, axis=-1)
             g1 = jnp.take_along_axis(ext_sig, i0 + 1, axis=-1)
             return g0 * (1 - frac) + g1 * frac
-        # windowed-sinc taps (reference convention: 2*nt taps, hann window,
-        # adaptive cutoff fc = min(speed, 1)); needs a LEFT halo as well so
-        # taps reaching into the previous shard are real samples
-        left = _right_ppermute(xb[..., -nt:], "time", n_time)
+        # windowed-sinc (round 3): segment-local anchors bound the in-segment
+        # drift (positions advance ~1/speed per output), so the quality-taps
+        # banded shift-MAC replaces the old scalar-rate per-tap gather — the
+        # same rebuild as lag_resample_sharded; reference tap conventions
+        # unchanged (2*nt taps, hann taper, fc = min(speed, 1))
+        from ..pipelines.respeeder_device import sinc_shift_mac
+
+        seg_drift = max(4, int(np.ceil(
+            step * (2 ** (tolerance_st / 12) - 1))) + 2)
+        U2 = nt + seg_drift
+        Hl2 = U2 + 2
+        left = _right_ppermute(xb[..., -Hl2:], "time", n_time)
         ext2 = jnp.concatenate([left, ext_sig], axis=-1)
-        rel = jnp.clip(rel, 0.0, local + drift_halo - nt - 1.0) + nt
-        ind = jnp.round(rel).astype(jnp.int32)
-        shift = (rel - ind).astype(xb.dtype)
-        fc = jnp.minimum(up, 1.0)
-        offs = np.arange(-nt, nt, dtype=np.int32)
-        idx = ind[..., None] + offs  # (B, local, 2nt)
-        g = jnp.take_along_axis(ext2, idx.reshape(idx.shape[0], -1),
-                                axis=-1).reshape(idx.shape)
-        jf = offs.astype(np.float32)[None, None, :] - shift[..., None]
-        xw = jf * fc[..., None]
-        hann = 0.5 - 0.5 * jnp.cos(np.pi * (offs + nt) / nt)
-        w = jnp.sinc(xw) * fc[..., None] * hann[None, None, :]
-        return jnp.sum(g * w, axis=-1)
+        ext_len2 = Hl2 + local + drift_halo
+        Tseg = local // step
+        L2 = step + 2 * U2
+        rel2 = jnp.clip(rel, 0.0, local + drift_halo - 1.0)
+
+        def one_b(ext1, pos1, sp1):
+            ps = pos1.reshape(Tseg, step)
+            bi = jnp.floor(ps[:, 0]).astype(jnp.int32)
+            rel_s = ps - bi[:, None].astype(jnp.float32)
+            start = bi + Hl2 - U2
+            idx2 = jnp.clip(start[:, None] + np.arange(L2)[None, :], 0,
+                            ext_len2 - 1)
+            buf = ext1[idx2]
+            return sinc_shift_mac(buf, sp1.reshape(Tseg, step), rel_s,
+                                  jnp.ones((Tseg, step), bool), step, nt,
+                                  seg_drift).reshape(-1)
+
+        return jax.vmap(one_b)(ext2, rel2, up)
 
     key = ("restore_step", _mesh_key(mesh), x.shape, float(f0_hz), sr, n_fft,
            step, float(tolerance_st), drift_halo, interp, nt, band is None)
