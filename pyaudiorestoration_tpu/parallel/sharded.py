@@ -9,7 +9,8 @@ The reference's answer to long recordings is blockwise streaming with
   from the right neighbor -> one left-directed ppermute before framing.
 * iSTFT overlap-add: each shard's trailing ``n_fft - step`` samples belong to
   the right neighbor's head -> one right-directed ppermute plus an add.
-* The fixed-length varispeed resampler gathers within a bounded drift halo.
+* The varispeed resamplers run the banded shift-MAC within a bounded
+  drift halo (segment-local anchors keep windows shard-local).
 
 All functions are pure and jit/shard_map compiled; they compose into
 ``restore_step`` — the flagship "training-step equivalent" that the multichip
