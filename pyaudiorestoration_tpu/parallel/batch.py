@@ -15,7 +15,7 @@ from . import mesh as pmesh
 from . import sharded
 
 __all__ = ["load_batch", "restore_batch", "restore_batch_files",
-           "restore_batch_files_fused"]
+           "restore_batch_files_fused", "restore_file_sharded"]
 
 
 def load_batch(paths, multiple: int = 1, channel: int = 0):
@@ -101,6 +101,54 @@ def restore_batch_files_fused(paths, f0_hz=None, tolerance_st: float = 1.0,
             out_paths.append(audio_io.write_file(path, flat, sr, 1,
                                                  suffix=out_suffix))
     return out_paths
+
+
+def restore_file_sharded(path, f0_hz=None, tolerance_st: float = 1.0,
+                         fft_size: int = 4096, fft_overlap: int = 8,
+                         zeropad: int = 2, sinc_quality: int = 50,
+                         drift: int = 32, out_suffix="_res",
+                         backend: str = "auto"):
+    """ALL channels of one recording through the mesh fast tier with the
+    reference's shared-curve export contract (resampling.py:211-231):
+    channels ride the ``files`` axis, ``share_curve=True`` broadcasts
+    channel 0's tracked curve over it, and the time axis shards the
+    recording.  Writes one multi-channel ``*_res`` file."""
+    import jax
+
+    from ..pipelines.respeeder_device import (_band_limits, _probe_f0,
+                                              _sinc_backend)
+
+    step = fft_size // fft_overlap
+    sig, sr, C = audio_io.read_file(path)
+    n_dev = len(jax.devices())
+    n_files_axis = max(1, min(C, n_dev))
+    while n_dev % n_files_axis:
+        n_files_axis -= 1
+    rows = -(-C // n_files_axis) * n_files_axis
+    mesh = pmesh.make_mesh(n_files=n_files_axis, n_time=n_dev // n_files_axis)
+    n_time = mesh.shape["time"]
+    mult = n_time * step
+    n = -(-sig.shape[0] // mult) * mult
+    batch = np.zeros((rows, n), np.float32)
+    batch[:C] = np.pad(sig.T, ((0, 0), (0, n - sig.shape[0])))
+    if f0_hz is None:
+        f0_hz = _probe_f0(batch[0], sr)
+    NLv, NUv = _band_limits(f0_hz, tolerance_st, fft_size, zeropad, sr)
+    F = n // step + 1
+    NL = np.full(F, NLv, np.int32)
+    NU = np.full(F, NUv, np.int32)
+    backend = {"auto": _sinc_backend("auto")}.get(backend, backend)
+    xs = pmesh.shard_time_batch(mesh, batch)
+    padded, nn, _, _ = sharded.restore_fused_sharded(
+        mesh, xs, NL, NU, fft_size, step, zeropad, max_n=int(step * 1.25),
+        nt=int(sinc_quality), drift=drift, backend=backend, share_curve=True)
+    padded = np.asarray(padded)
+    counts = np.asarray(nn)[0]
+    t_real = min(len(counts), -(-sig.shape[0] // step))
+    out = np.stack([sharded.compact_padded_host(padded[c][:t_real],
+                                                counts[:t_real])
+                    for c in range(C)], axis=-1)
+    return audio_io.write_file(path, out, sr, C, suffix=out_suffix)
 
 
 def restore_batch_files(paths, f0_hz, n_files_axis=None, out_suffix="_res", **kwargs):

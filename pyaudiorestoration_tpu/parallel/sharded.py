@@ -380,7 +380,8 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
                           zeropad: int = 1, max_n: int = None, nt: int = 50,
                           drift: int = 32, window_name: str = "blackmanharris",
                           band=None, speed_curve=None, base_slack: int = 16,
-                          chunk_frames: int = 4096, backend: str = "xla"):
+                          chunk_frames: int = 4096, backend: str = "xla",
+                          share_curve: bool = False):
     """The single-chip fused restoration step on a ('files', 'time') mesh.
 
     Same kernels and conventions as ``respeeder_device.restore_fused_device``
@@ -402,7 +403,10 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
     shard-local given a ``base_slack`` halo margin.
 
     ``x``: (files, n) batch — each file tracks its OWN curve (the
-    independent-takes contract of ``restore_fused_takes``).  ``NL``/``NU``:
+    independent-takes contract of ``restore_fused_takes``); with
+    ``share_curve=True`` every row resamples through row 0's curve instead
+    (the files axis then carries the CHANNELS of one take — the reference's
+    multi-channel export contract, resampling.py:211-231).  ``NL``/``NU``:
     (n_frames,) per-frame band limits shared across files (n_frames =
     n//step + 1).  ``speed_curve``: optional (files, n_frames) frame-rate
     speed override (project-replay / master-curve path, pyrespeeder_gui.py:
@@ -524,6 +528,13 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
             speeds = jnp.power(2.0, log_speed - mean[:, None])
         else:
             speeds = sc_args[0][:, 0]  # (B_local, Tl+1)
+        if share_curve:
+            # the reference's multi-channel export contract: every row (the
+            # CHANNELS of one take on the files axis) resamples through row
+            # 0's tracked curve (resampling.py:211-231) — one all_gather
+            # over the files axis broadcasts it
+            allsp = jax.lax.all_gather(speeds, "files", axis=0, tiled=True)
+            speeds = jnp.broadcast_to(allsp[:1], speeds.shape)
         speeds = jnp.clip(speeds, 1.0 / (1.0 + d_bound), 1.0 / (1.0 - d_bound))
         s_lo, s_hi = speeds[:, :-1], speeds[:, 1:]  # (B, Tl)
         n_raw = step * (s_lo + s_hi) / 2.0
@@ -587,7 +598,8 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
     # whole step each time (measured 5.9 s/call vs 60 ms warm).
     key = (tuple(d.id for d in mesh.devices.flat), batch, total, n_fft, step,
            zeropad, max_n, nt, drift, window_name, (lo, hi),
-           speed_curve is not None, base_slack, chunk_frames, backend)
+           speed_curve is not None, base_slack, chunk_frames, backend,
+           share_curve)
     cached = _FUSED_SHARDED_CACHE.get(key)
     if cached is None:
         cached = jax.jit(shard_map(

@@ -231,3 +231,44 @@ def test_compact_padded_host_roundtrip():
     np.testing.assert_array_equal(out, [0, 1, 8, 9, 10])
     out2 = sharded.compact_padded_host(padded, n, n_out=4)
     np.testing.assert_array_equal(out2, [0, 1, 8, 9])
+
+
+def test_shared_curve_stereo_bitexact():
+    """share_curve=True (channels on the files axis, one tracked curve) is
+    bit-identical to the dense tier's multi-channel export contract."""
+    n_time, Tl = 4, 1024
+    n = Tl * STEP * n_time
+    sig = _wobble_take(n)
+    x = np.stack([sig, 0.7 * sig])
+    NL, NU = _bands(n)
+    mesh = _mesh(2, n_time)
+    xs = pmesh.shard_time_batch(mesh, x)
+    pad_s, nn_s, _, _ = sharded.restore_fused_sharded(
+        mesh, xs, NL, NU, NFFT, STEP, ZP, MAX_N, 16, 8, band=BAND,
+        share_curve=True)
+    pad_d = np.asarray(rdev.restore_fused_device(
+        jnp.asarray(x), jnp.asarray(NL), jnp.asarray(NU), NFFT, STEP, ZP,
+        MAX_N, 16, 8, band=BAND))
+    assert np.array_equal(np.asarray(pad_s), pad_d)
+
+
+def test_restore_file_sharded_multichannel(tmp_path):
+    """File-level shared-curve mesh restore: a stereo take in, one stereo
+    restored file out, flutter reduced on both channels."""
+    from pyaudiorestoration_tpu.parallel import batch
+    from pyaudiorestoration_tpu.utils import audio_io, metrics
+
+    n = 8 * STEP * 1024
+    sig = _wobble_take(n)
+    x = np.stack([sig, 0.6 * sig], -1)
+    p = str(tmp_path / "take.wav")
+    audio_io.write_wav(p, x, SR)
+    out = batch.restore_file_sharded(p, f0_hz=F0, tolerance_st=1.0,
+                                     fft_size=NFFT, fft_overlap=NFFT // STEP,
+                                     zeropad=ZP, sinc_quality=16, drift=16,
+                                     backend="xla")
+    b, sr, _ = audio_io.read_file(out)
+    assert b.shape[1] == 2
+    for c in range(2):
+        assert metrics.flutter(b[:, c], sr) < metrics.flutter(x[:, c], sr) / 3
+    np.testing.assert_allclose(b[:, 1], 0.6 * b[:, 0], atol=1e-5)
