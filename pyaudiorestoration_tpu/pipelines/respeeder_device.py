@@ -785,7 +785,8 @@ def restore_file_streamed(audio_path, f0_hz=None, tolerance_st: float = 1.0,
                           fft_size: int = 4096, fft_overlap: int = 8,
                           zeropad: int = 2, sinc_quality: int = 50,
                           suffix: str = "", channel: int = 0, use_channels=None,
-                          frames_per_block: int = 65536, seg_tile: int = 16384):
+                          frames_per_block: int = 65536, seg_tile: int = 16384,
+                          resume: bool = True):
     """Larger-than-memory wow/flutter fix: two streamed passes over the file.
 
     Pass 1 reads ``frames_per_block``-frame sample spans via the native
@@ -797,6 +798,11 @@ def restore_file_streamed(audio_path, f0_hz=None, tolerance_st: float = 1.0,
     (~16 bytes/frame).  Pass 2 resamples ``seg_tile`` segments at a time
     from a re-read input window and appends to a StreamWriter, so peak host
     memory is one block regardless of recording length.
+
+    Checkpoint/resume (``resume=True``): the pass-1 speed curve persists to
+    ``<out>.speeds.npz`` keyed by the input's identity and the tracking
+    config, so a multi-hour job interrupted in pass 2 restarts WITHOUT
+    re-tracking; the sidecar is removed after a successful write.
     """
     from ..utils import audio_io
 
@@ -812,28 +818,46 @@ def restore_file_streamed(audio_path, f0_hz=None, tolerance_st: float = 1.0,
         pad = fft_size // 2
         n_frames = (n + 2 * pad - fft_size) // hop + 1
         frames_per_block = min(frames_per_block, n_frames)
+        out_base = f"{os.path.splitext(audio_path)[0]}_res{suffix}"
+        ckpt_path = f"{out_base}.speeds.npz"
+        ckpt_key = np.asarray([n, num_channels, sr, fft_size, hop, zeropad,
+                               NL, NU, channel], np.int64)
 
-        # ---- pass 1: streamed banded peak tracking (frame-exact)
-        NLs = jnp.full((frames_per_block,), NL, jnp.int32)
-        NUs = jnp.full((frames_per_block,), NU, jnp.int32)
-        span_need = (frames_per_block - 1) * hop + fft_size
-        refined_parts = []
-        for t0 in range(0, n_frames, frames_per_block):
-            t1 = min(n_frames, t0 + frames_per_block)
-            lo = t0 * hop - pad
-            hi = (t1 - 1) * hop - pad + fft_size
-            rlo, rhi = max(0, lo), min(n, hi)
-            blk = reader.read(rlo, rhi - rlo)[:, channel].astype(np.float32)
-            if lo < 0 or hi > n:  # reflect only at the true file edges
-                blk = np.pad(blk, (rlo - lo, hi - rhi), mode="reflect")
-            blk = np.pad(blk, (0, span_need - len(blk)))
-            refined = np.asarray(track_peaks_span(
-                jnp.asarray(blk), NLs, NUs, frames_per_block, fft_size, hop,
-                zeropad, band=(NL - 1, NU + 1)))
-            refined_parts.append(refined[: t1 - t0])
-        speeds = np.asarray(normalize_speeds(
-            jnp.asarray(np.concatenate(refined_parts)),
-            center=log_center_for_band((NL - 1, NU + 1))))
+        speeds = None
+        if resume and os.path.exists(ckpt_path):
+            try:
+                ck = np.load(ckpt_path)
+                if np.array_equal(ck["key"], ckpt_key):
+                    speeds = ck["speeds"]
+                    import logging
+
+                    logging.info(f"Resuming pass 2 from {ckpt_path}")
+            except Exception:
+                pass
+        if speeds is None:
+            # ---- pass 1: streamed banded peak tracking (frame-exact)
+            NLs = jnp.full((frames_per_block,), NL, jnp.int32)
+            NUs = jnp.full((frames_per_block,), NU, jnp.int32)
+            span_need = (frames_per_block - 1) * hop + fft_size
+            refined_parts = []
+            for t0 in range(0, n_frames, frames_per_block):
+                t1 = min(n_frames, t0 + frames_per_block)
+                lo = t0 * hop - pad
+                hi = (t1 - 1) * hop - pad + fft_size
+                rlo, rhi = max(0, lo), min(n, hi)
+                blk = reader.read(rlo, rhi - rlo)[:, channel].astype(np.float32)
+                if lo < 0 or hi > n:  # reflect only at the true file edges
+                    blk = np.pad(blk, (rlo - lo, hi - rhi), mode="reflect")
+                blk = np.pad(blk, (0, span_need - len(blk)))
+                refined = np.asarray(track_peaks_span(
+                    jnp.asarray(blk), NLs, NUs, frames_per_block, fft_size, hop,
+                    zeropad, band=(NL - 1, NU + 1)))
+                refined_parts.append(refined[: t1 - t0])
+            speeds = np.asarray(normalize_speeds(
+                jnp.asarray(np.concatenate(refined_parts)),
+                center=log_center_for_band((NL - 1, NU + 1))))
+            if resume:
+                np.savez(ckpt_path, key=ckpt_key, speeds=speeds)
 
         # ---- global position plan (host, frame-rate sized)
         plan = plan_positions_fast(speeds, hop, n)
@@ -844,7 +868,7 @@ def restore_file_streamed(audio_path, f0_hz=None, tolerance_st: float = 1.0,
         max_n = int(plan["max_n"])
         T = len(plan["n"])
         speeds32 = speeds.astype(np.float32)
-        out_path = f"{os.path.splitext(audio_path)[0]}_res{suffix}.wav"
+        out_path = out_base + ".wav"
 
         # ---- pass 2: tile the segment axis, re-read input windows, append.
         # The read span is padded to a FIXED length so the device kernel
@@ -886,6 +910,8 @@ def restore_file_streamed(audio_path, f0_hz=None, tolerance_st: float = 1.0,
                 written += take
                 if written >= plan["n_out"]:
                     break
+    if resume and os.path.exists(ckpt_path):
+        os.remove(ckpt_path)  # success: the checkpoint has served its purpose
     import logging
 
     logging.info(f"Wrote {out_path}")

@@ -202,3 +202,50 @@ def test_heal_streamed_no_dropouts_is_identity_roundtrip(tmp_path):
     out = dropouts.heal_file(p, [], 512, 16, stream=True)
     b, _, _ = audio_io.read_file(out)
     np.testing.assert_allclose(b[512:-512], x[512:-512], atol=1e-5)
+
+
+def test_streamed_restore_checkpoint_resume(tmp_path):
+    """Pass-1 tracking checkpoints to a sidecar: a crash during pass 2 leaves
+    it behind, and the rerun resumes WITHOUT re-tracking (identical output);
+    the sidecar is removed after success."""
+    import os
+
+    from pyaudiorestoration_tpu.pipelines import respeeder_device as rdev
+
+    sr = 16000
+    n = 6 * sr
+    t = np.arange(n) / sr
+    speed = 1.0 + 0.01 * np.sin(2 * np.pi * 1.5 * t)
+    sig = np.sin(2 * np.pi * 1000 * np.cumsum(speed) / sr).astype(np.float32)
+    p = str(tmp_path / "take.wav")
+    audio_io.write_wav(p, sig[:, None], sr)
+    kw = dict(fft_size=1024, fft_overlap=8, zeropad=2, sinc_quality=16)
+    out1 = rdev.restore_file_streamed(p, **kw)
+    a, _, _ = audio_io.read_file(out1)
+    assert not os.path.exists(str(tmp_path / "take_res.speeds.npz"))
+
+    # crash pass 2 on the first write -> the checkpoint must survive
+    class Boom(Exception):
+        pass
+
+    orig_write = audio_io.StreamWriter.write
+    audio_io.StreamWriter.write = lambda self, block: (_ for _ in ()).throw(Boom())
+    try:
+        with pytest.raises(Boom):
+            rdev.restore_file_streamed(p, suffix="_r", **kw)
+    finally:
+        audio_io.StreamWriter.write = orig_write
+    ckpt = str(tmp_path / "take_res_r.speeds.npz")
+    assert os.path.exists(ckpt)
+
+    # rerun: tracking must NOT rerun, and the output must match run 1
+    orig_track = rdev.track_peaks_span
+    rdev.track_peaks_span = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("tracking must not rerun when resuming"))
+    try:
+        out3 = rdev.restore_file_streamed(p, suffix="_r", **kw)
+    finally:
+        rdev.track_peaks_span = orig_track
+    assert not os.path.exists(ckpt)
+    c, _, _ = audio_io.read_file(out3)
+    np.testing.assert_allclose(a, c, atol=1e-6)
