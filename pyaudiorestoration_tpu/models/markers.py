@@ -12,7 +12,7 @@ the heavy per-sample work happens downstream in the ops layer.
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import scipy.interpolate

@@ -14,7 +14,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["xcorr", "find_delay", "find_delay_batch", "parabolic", "parabolic_batch"]
 

@@ -19,7 +19,6 @@ dry-run compiles over a ('files', 'time') mesh.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
