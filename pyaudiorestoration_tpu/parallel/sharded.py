@@ -427,6 +427,8 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
 
     n_time = mesh.shape["time"]
     batch, total = x.shape
+    assert batch % mesh.shape["files"] == 0, \
+        "files-axis batch must divide the mesh's files dimension"
     S = total // n_time
     assert S % step == 0 and S * n_time == total
     assert n_fft % step == 0
