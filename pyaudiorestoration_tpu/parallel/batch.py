@@ -15,7 +15,8 @@ from . import mesh as pmesh
 from . import sharded
 
 __all__ = ["load_batch", "restore_batch", "restore_batch_files",
-           "restore_batch_files_fused", "restore_file_sharded"]
+           "restore_batch_files_fused", "restore_file_sharded",
+           "lag_resample_file_sharded"]
 
 
 def load_batch(paths, multiple: int = 1, channel: int = 0):
@@ -149,6 +150,39 @@ def restore_file_sharded(path, f0_hz=None, tolerance_st: float = 1.0,
                                                 counts[:t_real])
                     for c in range(C)], axis=-1)
     return audio_io.write_file(path, out, sr, C, suffix=out_suffix)
+
+
+def lag_resample_file_sharded(path, sampletimes_s, lags_s, hop: int = 256,
+                              sinc_quality: int = 50, drift: int = 32,
+                              out_suffix="_res"):
+    """The tapesynch export on the mesh: resample ALL channels of ``path``
+    through one lag curve (seconds), channels riding the files axis and the
+    recording sharded along time (``sharded.lag_resample_sharded``).
+
+    Fixed-length output (the reference's variable-length tail trim happens
+    at file write: samples past the input end read zeros).  Writes one
+    multi-channel ``*_res`` file; reference semantics
+    pytapesynch_gui.py:145-155 / resampling.py:189-206."""
+    import jax
+
+    sig, sr, C = audio_io.read_file(path)
+    st = np.asarray(sampletimes_s, np.float64) * sr
+    lg = np.asarray(lags_s, np.float64) * sr
+    n_dev = len(jax.devices())
+    n_files_axis = max(1, min(C, n_dev))
+    while n_dev % n_files_axis:
+        n_files_axis -= 1
+    rows = -(-C // n_files_axis) * n_files_axis
+    mesh = pmesh.make_mesh(n_files=n_files_axis, n_time=n_dev // n_files_axis)
+    mult = mesh.shape["time"] * hop
+    n = -(-sig.shape[0] // mult) * mult
+    batch = np.zeros((rows, n), np.float32)
+    batch[:C] = np.pad(sig.T, ((0, 0), (0, n - sig.shape[0])))
+    xs = pmesh.shard_time_batch(mesh, batch)
+    out = np.asarray(sharded.lag_resample_sharded(
+        mesh, xs, st, lg, hop=hop, nt=int(sinc_quality), drift=drift))
+    return audio_io.write_file(path, out[:C, :sig.shape[0]].T, sr, C,
+                               suffix=out_suffix)
 
 
 def restore_batch_files(paths, f0_hz, n_files_axis=None, out_suffix="_res", **kwargs):

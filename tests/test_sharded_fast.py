@@ -272,3 +272,25 @@ def test_restore_file_sharded_multichannel(tmp_path):
     for c in range(2):
         assert metrics.flutter(b[:, c], sr) < metrics.flutter(x[:, c], sr) / 3
     np.testing.assert_allclose(b[:, 1], 0.6 * b[:, 0], atol=1e-5)
+
+
+def test_lag_resample_file_sharded(tmp_path):
+    """File-level tapesynch export on the mesh: a constant-lag curve shifts
+    the recording by the expected amount on every channel."""
+    from pyaudiorestoration_tpu.parallel import batch
+    from pyaudiorestoration_tpu.utils import audio_io
+
+    n = 4 * STEP * 1024
+    t = np.arange(n) / SR
+    sig = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    x = np.stack([sig, 0.5 * sig], -1)
+    p = str(tmp_path / "src.wav")
+    audio_io.write_wav(p, x, SR)
+    lag = 25.0 / SR  # 25 samples constant
+    out = batch.lag_resample_file_sharded(
+        p, [0.0, n / SR], [lag, lag], hop=STEP, sinc_quality=16, drift=8)
+    b, _, _ = audio_io.read_file(out)
+    assert b.shape == x.shape
+    h = 4096
+    np.testing.assert_allclose(b[h:-h, 0], sig[h - 25:-h - 25], atol=1e-4)
+    np.testing.assert_allclose(b[:, 1], 0.5 * b[:, 0], atol=1e-5)
