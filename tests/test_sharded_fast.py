@@ -294,3 +294,25 @@ def test_lag_resample_file_sharded(tmp_path):
     h = 4096
     np.testing.assert_allclose(b[h:-h, 0], sig[h - 25:-h - 25], atol=1e-4)
     np.testing.assert_allclose(b[:, 1], 0.5 * b[:, 0], atol=1e-5)
+
+
+def test_sharded_fast_zeropad_parity():
+    """zeropad=2 (the bench configuration's banded-DFT shape) keeps the
+    sharded/dense bit-parity."""
+    n_time, Tl = 2, 1024
+    n = Tl * STEP * n_time
+    x = _wobble_take(n)[None, :]
+    zp = 2
+    f0_bin_zp = int(round(F0 * NFFT * zp / SR))
+    F = n // STEP + 1
+    NL = np.full(F, f0_bin_zp - 6, np.int32)
+    NU = np.full(F, f0_bin_zp + 7, np.int32)
+    band = (f0_bin_zp - 7, f0_bin_zp + 8)
+    mesh = _mesh(1, n_time)
+    xs = pmesh.shard_time_batch(mesh, x)
+    pad_s, nn_s, _, _ = sharded.restore_fused_sharded(
+        mesh, xs, NL, NU, NFFT, STEP, zp, MAX_N, 16, 8, band=band)
+    pad_d = np.asarray(rdev.restore_fused_device(
+        jnp.asarray(x[0]), jnp.asarray(NL), jnp.asarray(NU), NFFT, STEP, zp,
+        MAX_N, 16, 8, band=band))
+    assert np.array_equal(np.asarray(pad_s)[0], pad_d)
