@@ -45,15 +45,19 @@ def _mesh_key(mesh: Mesh):
             tuple(mesh.shape.items()))
 
 
-def _cached_exec(key, build):
+def _cached_exec(key, build, cap: int = 64):
     """Per-(mesh, static-config, shapes) cache of jitted shard_map callables.
 
     Every public entry here builds its shard_map over a fresh Python closure;
     without this cache each CALL would retrace and recompile the collective
-    program (measured 5.9 s vs 60 ms warm on the fused step)."""
-    fn = _EXEC_CACHE.get(key)
+    program (measured 5.9 s vs 60 ms warm on the fused step).  LRU-capped so
+    shape churn cannot grow the cache without bound."""
+    fn = _EXEC_CACHE.pop(key, None)
     if fn is None:
-        fn = _EXEC_CACHE[key] = build()
+        fn = build()
+        if len(_EXEC_CACHE) >= cap:
+            _EXEC_CACHE.pop(next(iter(_EXEC_CACHE)))
+    _EXEC_CACHE[key] = fn
     return fn
 
 
@@ -318,9 +322,6 @@ def cog_sharded(mesh: Mesh, spec_mag, NL0, NU0, tolerance, fft_size: int, sr: in
         out_specs=P("files", "time"),
         check_vma=False,
     )))(spec_mag, NL0, NU0)
-
-
-_FUSED_SHARDED_CACHE: dict = {}
 
 
 def _split_total(ci, cf, x):
@@ -601,17 +602,13 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
            zeropad, max_n, nt, drift, window_name, (lo, hi),
            speed_curve is not None, base_slack, chunk_frames, backend,
            share_curve)
-    cached = _FUSED_SHARDED_CACHE.get(key)
-    if cached is None:
-        cached = jax.jit(shard_map(
-            fn, mesh=mesh,
-            in_specs=tuple(in_specs),
-            out_specs=(P("files", "time", None), P("files", "time"),
-                       P("files", "time"), P("files", "time")),
-            check_vma=False,
-        ))
-        _FUSED_SHARDED_CACHE[key] = cached
-    return cached(*args)
+    return _cached_exec(("fused",) + key, lambda: jax.jit(shard_map(
+        fn, mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P("files", "time", None), P("files", "time"),
+                   P("files", "time"), P("files", "time")),
+        check_vma=False,
+    )))(*args)
 
 
 def compact_padded_host(padded_np, n_np, n_out=None):
