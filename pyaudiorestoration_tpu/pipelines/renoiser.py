@@ -124,17 +124,39 @@ def _process_fused(x, profile, gain, fft_size: int, hop: int, length: int):
     return fourier.istft(spec * fac, length=length, hop_length=hop)
 
 
-def process(signal, sr, profile, gain, fft_size=1024, fft_overlap=4, channels=None):
+def process(signal, sr, profile, gain, fft_size=1024, fft_overlap=4,
+            channels=None, blockwise: int = 0):
     """Masked STFT -> iSTFT of all channels (renoiser_gui.py:296-319).
 
     The whole round trip runs as ONE vmapped jit dispatch for every selected
     channel (round 3: the per-channel dispatch loop is gone).
+
+    ``blockwise``: process in blocks of this many frames with halo trim
+    (``utils/streaming.stream_process``, the reference's 256 KB iSTFT
+    blocking writ large, util/fourier.py:390-407) — bounds device temporaries
+    for big in-memory arrays; 0 processes the whole take at once.  (For
+    file-to-file streaming use ``process_file(stream=True)``.)
     """
     hop = fft_size // fft_overlap
     channels = list(channels) if channels else list(range(signal.shape[1]))
     n = len(signal)
-    padded = np.asarray(fourier.fix_length(signal, n + fft_size // 2, axis=0))
     prof = jnp.asarray(np.asarray(profile, np.float32))
+    if blockwise:
+        from ..utils import streaming
+
+        def roundtrip(block):
+            bn = len(block)
+            pad_b = np.asarray(fourier.fix_length(block, bn + fft_size // 2,
+                                                  axis=0))
+            xb = jnp.asarray(np.ascontiguousarray(pad_b[:, channels].T))
+            yb = jax.vmap(lambda ch: _process_fused(
+                ch, prof, float(gain), fft_size, hop, bn))(xb)
+            return np.asarray(yb).T
+
+        return streaming.stream_process(signal, roundtrip, hop,
+                                        blocksize=int(blockwise)).astype(
+                                            signal.dtype)
+    padded = np.asarray(fourier.fix_length(signal, n + fft_size // 2, axis=0))
     x = jnp.asarray(np.ascontiguousarray(padded[:, channels].T))  # (C, n+pad)
     y = jax.vmap(lambda ch: _process_fused(ch, prof, float(gain), fft_size,
                                            hop, n))(x)

@@ -101,23 +101,55 @@ def run_project(project_path, audio_path=None, out_suffix=""):
 
 def restore_file(audio_path, mode="Peak", fft_size=1024, fft_overlap=4, zeropad=1,
                  tolerance=1.0, trail=None, resampling_mode="Sinc", sinc_quality=50,
-                 suffix="", bands=DEFAULT_BANDS, save_project=False, adapt="None"):
+                 suffix="", bands=DEFAULT_BANDS, save_project=False, adapt="None",
+                 blockwise: int = 0):
     """One-shot wow/flutter fix: trace the strongest tone and resample.
 
     If no trail is given, seed the tracker with the loudest stable frequency
     (the autopilot path for pilot-tone / music material).
+
+    ``blockwise``: trace in blocks of this many FFT frames with halo trim
+    (``utils/streaming.stream_trace`` — the reference's NASA-tape streaming
+    pattern, experiments/pyrespeeder_cmd.py:16-49) so the spectrogram never
+    materializes whole; 0 traces the whole take at once.
     """
     signal, sr, channels = audio_io.read_file(audio_path)
     duration = len(signal) / sr
-    spectrum, hop = compute_spectrum(signal, sr, fft_size, fft_overlap, zeropad)
-    if trail is None:
-        mean_spec = spectrum.mean(axis=1)
-        peak_bin = int(np.argmax(mean_spec[1:])) + 1
-        f0 = peak_bin / (fft_size * zeropad) * sr
-        trail = [(0.0, f0), (duration, f0)]
-        logging.info(f"Auto trail at {f0:.1f} Hz")
-    line = trace_trail(signal, sr, trail, mode, fft_size, fft_overlap, zeropad,
-                       tolerance, adapt=adapt, spectrum=spectrum)
+    hop = fft_size // fft_overlap
+    if blockwise:
+        from ..utils import streaming
+
+        if trail is None:
+            probe, _ = compute_spectrum(signal[: min(len(signal), 1 << 20)],
+                                        sr, fft_size, fft_overlap, zeropad)
+            peak_bin = int(np.argmax(probe.mean(axis=1)[1:])) + 1
+            f0 = peak_bin / (fft_size * zeropad) * sr
+            logging.info(f"Auto trail at {f0:.1f} Hz (blockwise)")
+        else:
+            f0 = float(np.mean([f for _, f in trail]))
+
+        def block_tracker(block, sr_):
+            b_dur = len(block) / sr_
+            tl = trace_trail(block, sr_, [(0.0, f0), (b_dur, f0)], mode,
+                             fft_size, fft_overlap, zeropad, tolerance,
+                             adapt=adapt)
+            return tl.times, tl.freqs
+
+        times, freqs = streaming.stream_trace(signal, sr, block_tracker,
+                                              fft_size, hop,
+                                              blocksize=int(blockwise))
+        line = mk.TraceLine(times, freqs)
+    else:
+        spectrum, hop = compute_spectrum(signal, sr, fft_size, fft_overlap,
+                                         zeropad)
+        if trail is None:
+            mean_spec = spectrum.mean(axis=1)
+            peak_bin = int(np.argmax(mean_spec[1:])) + 1
+            f0 = peak_bin / (fft_size * zeropad) * sr
+            trail = [(0.0, f0), (duration, f0)]
+            logging.info(f"Auto trail at {f0:.1f} Hz")
+        line = trace_trail(signal, sr, trail, mode, fft_size, fft_overlap,
+                           zeropad, tolerance, adapt=adapt, spectrum=spectrum)
     if save_project:
         # GUI Save parity: markers + visible settings (widgets.py:1224-1234)
         proj = project.Project(".spd", {

@@ -119,3 +119,31 @@ def test_master_reg_line_phase_continuity():
     assert np.all(np.isfinite(data))
     # blended curve amplitude stays near 1.5 * amp
     assert np.max(np.abs(data[:, 1])) <= 0.02 * 1.5 + 1e-6
+
+
+def test_restore_file_blockwise_matches_whole(tmp_path):
+    """Blockwise tracing (stream_trace, the reference's pyrespeeder_cmd
+    pattern) restores as well as whole-take tracing on a wobbling tone."""
+    import numpy as np
+
+    from pyaudiorestoration_tpu.pipelines import respeeder
+    from pyaudiorestoration_tpu.utils import audio_io, metrics
+
+    sr = 22050
+    n = 6 * sr
+    t = np.arange(n) / sr
+    speed = 1.0 + 0.015 * np.sin(2 * np.pi * 1.2 * t)
+    sig = (np.sin(2 * np.pi * 2000 * np.cumsum(speed) / sr) * 0.5).astype(np.float32)
+    p_a = str(tmp_path / "a.wav")
+    p_b = str(tmp_path / "b.wav")
+    audio_io.write_wav(p_a, sig[:, None], sr)
+    audio_io.write_wav(p_b, sig[:, None], sr)
+    kw = dict(fft_size=2048, fft_overlap=8, zeropad=2, sinc_quality=16)
+    out_a = respeeder.restore_file(p_a, **kw)
+    out_b = respeeder.restore_file(p_b, blockwise=128, **kw)
+    a, _, _ = audio_io.read_file(out_a[0])
+    b, _, _ = audio_io.read_file(out_b[0])
+    f_in = metrics.flutter(sig, sr)
+    f_a = metrics.flutter(a, sr)
+    f_b = metrics.flutter(b, sr)
+    assert f_a < f_in / 5 and f_b < f_in / 5, (f_in, f_a, f_b)

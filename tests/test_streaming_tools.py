@@ -249,3 +249,17 @@ def test_streamed_restore_checkpoint_resume(tmp_path):
     assert not os.path.exists(ckpt)
     c, _, _ = audio_io.read_file(out3)
     np.testing.assert_allclose(a, c, atol=1e-6)
+
+
+def test_renoise_blockwise_in_memory_interior_parity(tmp_path):
+    """renoiser.process(blockwise=N) (stream_process halo-trim blocking)
+    matches whole-take processing in the interior."""
+    x = _noisy_tone(int(4.0 * SR), seed=21)
+    prof = np.full((513,), -60.0, np.float32)
+    from pyaudiorestoration_tpu.pipelines import renoiser
+
+    a = renoiser.process(x, SR, prof, -30.0, 1024, 4)
+    b = renoiser.process(x, SR, prof, -30.0, 1024, 4, blockwise=256)
+    assert a.shape == b.shape
+    h = 8192
+    np.testing.assert_allclose(a[h:-h], b[h:-h], atol=1e-4)
