@@ -316,3 +316,26 @@ def test_sharded_fast_zeropad_parity():
         jnp.asarray(x[0]), jnp.asarray(NL), jnp.asarray(NU), NFFT, STEP, zp,
         MAX_N, 16, 8, band=band))
     assert np.array_equal(np.asarray(pad_s)[0], pad_d)
+
+
+def test_restore_batch_files_fused_more_files_than_mesh(tmp_path):
+    """Three takes over a 2-wide files axis: the group loop pads the last
+    group and still writes exactly one output per input."""
+    from pyaudiorestoration_tpu.parallel import batch
+    from pyaudiorestoration_tpu.utils import audio_io
+
+    n = 4 * STEP * 1024
+    paths = []
+    for i in range(3):
+        x = _wobble_take(n, depth=0.008 + 0.002 * i, rates=(1.0 + i,))
+        p = str(tmp_path / f"t{i}.wav")
+        audio_io.write_wav(p, x, SR)
+        paths.append(p)
+    outs = batch.restore_batch_files_fused(
+        paths, f0_hz=F0, fft_size=NFFT, fft_overlap=NFFT // STEP, zeropad=ZP,
+        sinc_quality=16, drift=16, n_files_axis=2, backend="xla")
+    assert len(outs) == 3
+    assert len({*outs}) == 3
+    for o in outs:
+        b, _, _ = audio_io.read_file(o)
+        assert np.all(np.isfinite(b))
