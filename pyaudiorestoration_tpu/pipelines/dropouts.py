@@ -446,9 +446,36 @@ def process_heuristic(file_path, fft_size=1024, fft_overlap=4, max_width=0.02,
     return audio_io.write_file(file_path, signal, sr, num_channels, suffix=suffix or "_out")
 
 
-def process_max_mono(file_path, fft_size=1024, fft_overlap=4):
+def process_max_mono(file_path, fft_size=1024, fft_overlap=4, stream="auto",
+                     stream_threshold_bytes: int = 1 << 30):
     """Stereo -> mono folds keeping the per-bin max (and min) channel
-    (dropouts_gui.py:137-163). Returns the two output paths."""
+    (dropouts_gui.py:137-163). Returns the two output paths.
+
+    ``stream``: True forces the blockwise path (one pass, both folds via the
+    streaming engine's channel mix-down); "auto" streams past the decoded
+    threshold."""
+    import os
+
+    from ..utils import streaming
+
+    if streaming.should_stream(file_path, stream, stream_threshold_bytes):
+        hop = fft_size // fft_overlap
+
+        def make_fac(spec, t_lo):
+            # per-bin channel select as 0/1 masks; mix_down sums L*m + R*(1-m)
+            mask_max = (jnp.abs(spec[0]) > jnp.abs(spec[1])).astype(jnp.float32)
+            mask_min = (jnp.abs(spec[0]) < jnp.abs(spec[1])).astype(jnp.float32)
+            return [jnp.stack([mask_max, 1.0 - mask_max]),
+                    jnp.stack([mask_min, 1.0 - mask_min])]
+
+        base, _ = os.path.splitext(file_path)
+        outs = [f"{base}max.wav", f"{base}min.wav"]
+        with audio_io.StreamReader(file_path) as r:
+            if r.channels != 2:
+                raise ValueError("expects stereo input")
+        return streaming.stream_masked_stft(file_path, outs, make_fac,
+                                            fft_size, hop, [0, 1],
+                                            mix_down=True)
     hop = fft_size // fft_overlap
     signal, sr, num_channels = audio_io.read_file(file_path)
     if num_channels != 2:

@@ -61,7 +61,8 @@ def virtual_read(reader, a: int, b: int, pad: int, channels):
 def stream_masked_stft(in_path, out_path, make_fac, fft_size: int, hop: int,
                        channels=None, block_frames: int = 8192,
                        mask_halo_frames: int = 0, zeropad: int = 1,
-                       window_name: str = "blackmanharris", progress=None):
+                       window_name: str = "blackmanharris", progress=None,
+                       mix_down: bool = False):
     """Blockwise STFT -> per-bin gain mask -> iSTFT with halo trim, streamed
     file to file — the big-file path for renoise / heal / hpss (reference
     blocking pattern: util/fourier.py:390-407, experiments/
@@ -76,7 +77,10 @@ def stream_masked_stft(in_path, out_path, make_fac, fft_size: int, hop: int,
     ``make_fac(spec_block, t_lo)``: complex (C, F, T_blk) frames starting at
     global frame ``t_lo`` -> gain factors broadcastable to the same shape —
     or a LIST of factor arrays when ``out_path`` is a list (one output file
-    per factor set, e.g. the three HPSS components).  Memory high-water is
+    per factor set, e.g. the three HPSS components).  ``mix_down`` sums the
+    masked channels into ONE output channel per file (the max/min mono
+    folds, dropouts_gui.py:137-163 — iSTFT is linear, so summing after
+    inversion equals inverting the summed spectrum).  Memory high-water is
     one block regardless of recording length.
     """
     from ..ops import fourier
@@ -98,9 +102,10 @@ def stream_masked_stft(in_path, out_path, make_fac, fft_size: int, hop: int,
 
         import jax.numpy as jnp
 
+        out_ch = 1 if mix_down else len(chans)
         with contextlib.ExitStack() as stack:
             writers = [stack.enter_context(
-                audio_io.StreamWriter(p, sr, len(chans))) for p in out_paths]
+                audio_io.StreamWriter(p, sr, out_ch)) for p in out_paths]
             # fixed per-block frame counts: the tail block READS the same
             # span shape (virtual_read reflects past the end) and pads its
             # masked spec with zero frames, so every device call in the loop
@@ -149,6 +154,8 @@ def stream_masked_stft(in_path, out_path, make_fac, fft_size: int, hop: int,
                         env32 = env.astype(np.float32)
                         env = np.where(env32 > tiny, env32, 1.0)
                     y = y / env[None, :]
+                    if mix_down:
+                        y = y.sum(axis=0, keepdims=True)
                     # final[s] lives at overlap-add coord s + pad - t_lo*hop
                     off = s0 + pad - t_lo * hop
                     writer.write(y[:, off: off + (s1 - s0)].T)

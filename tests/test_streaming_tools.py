@@ -263,3 +263,19 @@ def test_renoise_blockwise_in_memory_interior_parity(tmp_path):
     assert a.shape == b.shape
     h = 8192
     np.testing.assert_allclose(a[h:-h], b[h:-h], atol=1e-4)
+
+
+def test_max_mono_streamed_matches_memory(tmp_path):
+    """Streamed max/min mono folds (engine mix-down) match the in-memory
+    folds in the interior."""
+    x = _noisy_tone(int(3.1 * SR), seed=31)
+    x[:, 1] = np.roll(x[:, 1], 5)  # decorrelate so masks vary
+    p_mem, p_str = _pair(tmp_path, x)
+    outs_mem = dropouts.process_max_mono(p_mem, 1024, 4, stream=False)
+    outs_str = dropouts.process_max_mono(p_str, 1024, 4, stream=True)
+    assert len(outs_mem) == len(outs_str) == 2
+    for pm, ps in zip(outs_mem, outs_str):
+        a, _, _ = audio_io.read_file(pm)
+        b, _, _ = audio_io.read_file(ps)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a[2048:-2048], b[2048:-2048], atol=1e-5)
