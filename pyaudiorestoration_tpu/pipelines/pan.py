@@ -52,7 +52,31 @@ def apply_pan(signal, sr, pan_samples, hop=256):
     return signal[:, 1] * af
 
 
-def pan_file(file_path, pan_samples, hop=256):
+def pan_file(file_path, pan_samples, hop=256, stream="auto",
+             stream_threshold_bytes: int = 1 << 30):
+    """``stream``: blockwise pan application for big files (the gain curve is
+    frame-rate host data; channel 1 rescales sample-block by sample-block)."""
+    import os
+
+    from ..utils import streaming
+
+    if streaming.should_stream(file_path, stream, stream_threshold_bytes):
+        with audio_io.StreamReader(file_path) as r:
+            sr = r.sample_rate
+            n = int(r.frames)
+            line = mk.PanLine(sr, hop, n / sr)
+            data = line.update(list(pan_samples))
+            base, _ = os.path.splitext(file_path)
+            out_path = f"{base}_out.wav"
+            blk = 1 << 22
+            with audio_io.StreamWriter(out_path, sr, 1) as w:
+                for s0 in range(0, n, blk):
+                    s1 = min(n, s0 + blk)
+                    buf = r.read(s0, s1 - s0)
+                    af = np.interp(np.arange(s0, s1, dtype=np.float64),
+                                   data[:, 0] * sr, data[:, 1])
+                    w.write((buf[:, 1] * af).astype(np.float32)[:, None])
+        return out_path
     signal, sr, num_channels = audio_io.read_file(file_path)
     out = apply_pan(signal, sr, pan_samples, hop)
     return audio_io.write_file(file_path, out, sr, 1)

@@ -279,3 +279,21 @@ def test_max_mono_streamed_matches_memory(tmp_path):
         b, _, _ = audio_io.read_file(ps)
         assert a.shape == b.shape
         np.testing.assert_allclose(a[2048:-2048], b[2048:-2048], atol=1e-5)
+
+
+def test_pan_streamed_matches_memory(tmp_path):
+    """Streamed pan application equals the in-memory path exactly (pure
+    sample-domain gain, no transform boundaries)."""
+    from pyaudiorestoration_tpu.models import markers as mk
+    from pyaudiorestoration_tpu.pipelines import pan
+
+    x = _noisy_tone(int(2.5 * SR), seed=41)
+    p_mem, p_str = _pair(tmp_path, x)
+    samples = [mk.PanSample((0.5, 100.0), (1.0, 8000.0), 0.6),
+               mk.PanSample((1.5, 100.0), (2.0, 8000.0), 1.3)]
+    o_mem = pan.pan_file(p_mem, samples, stream=False)
+    o_str = pan.pan_file(p_str, samples, stream=True)
+    a, _, _ = audio_io.read_file(o_mem)
+    b, _, _ = audio_io.read_file(o_str)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=1e-7)
