@@ -297,3 +297,31 @@ def test_pan_streamed_matches_memory(tmp_path):
     b, _, _ = audio_io.read_file(o_str)
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=1e-7)
+
+
+def test_decompressor_streamed_matches_memory(tmp_path):
+    """Streamed dynamics matching: blockwise band-passed RMS envelopes + a
+    streamed gain multiply track the in-memory path in the interior."""
+    from pyaudiorestoration_tpu.pipelines import decompressor
+
+    n = int(3.2 * SR)
+    t = np.arange(n) / SR
+    rng = np.random.default_rng(51)
+    env_ref = 0.1 + 0.5 * (np.sin(2 * np.pi * 0.5 * t) > 0)
+    env_src = 0.3 + 0.1 * (np.sin(2 * np.pi * 0.5 * t) > 0)  # compressed
+    carrier = np.sin(2 * np.pi * 1000 * t) + 0.1 * rng.standard_normal(n)
+    ref = (carrier * env_ref).astype(np.float32)[:, None]
+    src = (carrier * env_src).astype(np.float32)[:, None]
+    ps_mem = str(tmp_path / "src_mem.wav")
+    ps_str = str(tmp_path / "src_str.wav")
+    pr = str(tmp_path / "ref.wav")
+    audio_io.write_wav(ps_mem, src, SR)
+    audio_io.write_wav(ps_str, src, SR)
+    audio_io.write_wav(pr, ref, SR)
+    o_mem = decompressor.decompress_file(ps_mem, pr, stream=False)
+    o_str = decompressor.decompress_file(ps_str, pr, stream=True)
+    a, _, _ = audio_io.read_file(o_mem)
+    b, _, _ = audio_io.read_file(o_str)
+    assert a.shape == b.shape
+    h = SR // 2
+    np.testing.assert_allclose(a[h:-h], b[h:-h], atol=5e-4)
