@@ -65,15 +65,34 @@ def analyze_hum(file_src, base_hum=50, num_harmonies=2, tolerance=8,
     return matches
 
 
-def resample_file(file_src, ratio=None, **analyze_kwargs):
+def resample_file(file_src, ratio=None, stream="auto",
+                  stream_threshold_bytes: int = 1 << 30, **analyze_kwargs):
     """Resample globally by the measured (or given) hum ratio
-    (humspeed_gui.py:185-198). Returns the output path."""
+    (humspeed_gui.py:185-198). Returns the output path.
+
+    ``stream``: larger-than-memory path — the constant ratio becomes a
+    constant frame-rate speed curve through the streamed two-pass restore
+    (hum analysis itself reads only one 2^19 window)."""
+    from ..utils import streaming
+
     if ratio is None:
         matches = analyze_hum(file_src, **analyze_kwargs)
         if not matches:
             raise ValueError("no hum match found")
         ratio = matches[-1]["ratio"]
     percentage = (ratio - 1) * 100
+    if streaming.should_stream(file_src, stream, stream_threshold_bytes):
+        from . import respeeder_device as rdev
+
+        fft_size, fft_overlap = 4096, 8
+        hop = fft_size // fft_overlap
+        with audio_io.StreamReader(file_src) as r:
+            n = int(r.frames)
+        n_frames = (n + 2 * (fft_size // 2) - fft_size) // hop + 1
+        curve = np.full(n_frames, 1.0 / float(ratio), np.float64)
+        return rdev.restore_file_streamed(
+            file_src, fft_size=fft_size, fft_overlap=fft_overlap,
+            suffix="ampled_%.3f" % percentage, speed_curve=curve)
     signal, sr, num_channels = audio_io.read_file(file_src)
     res = resampling.resample_ratio(signal, sr * ratio, sr, axis=0)
     return audio_io.write_file(file_src, res, sr, num_channels,

@@ -786,7 +786,7 @@ def restore_file_streamed(audio_path, f0_hz=None, tolerance_st: float = 1.0,
                           zeropad: int = 2, sinc_quality: int = 50,
                           suffix: str = "", channel: int = 0, use_channels=None,
                           frames_per_block: int = 65536, seg_tile: int = 16384,
-                          resume: bool = True):
+                          resume: bool = True, speed_curve=None):
     """Larger-than-memory wow/flutter fix: two streamed passes over the file.
 
     Pass 1 reads ``frames_per_block``-frame sample spans via the native
@@ -803,6 +803,11 @@ def restore_file_streamed(audio_path, f0_hz=None, tolerance_st: float = 1.0,
     ``<out>.speeds.npz`` keyed by the input's identity and the tracking
     config, so a multi-hour job interrupted in pass 2 restarts WITHOUT
     re-tracking; the sidecar is removed after a successful write.
+
+    ``speed_curve``: optional frame-rate speeds (``n//hop + 1`` values) that
+    SKIP tracking entirely — streamed project replay (a saved master curve
+    over a larger-than-memory take) and constant-ratio resampling both ride
+    this.
     """
     from ..utils import audio_io
 
@@ -824,6 +829,10 @@ def restore_file_streamed(audio_path, f0_hz=None, tolerance_st: float = 1.0,
                                NL, NU, channel], np.int64)
 
         speeds = None
+        if speed_curve is not None:
+            speeds = np.asarray(speed_curve, np.float64)
+            assert len(speeds) == n_frames, (len(speeds), n_frames)
+            resume = False  # nothing expensive to checkpoint
         if resume and os.path.exists(ckpt_path):
             try:
                 ck = np.load(ckpt_path)

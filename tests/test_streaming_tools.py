@@ -325,3 +325,42 @@ def test_decompressor_streamed_matches_memory(tmp_path):
     assert a.shape == b.shape
     h = SR // 2
     np.testing.assert_allclose(a[h:-h], b[h:-h], atol=5e-4)
+
+
+def test_humspeed_streamed_matches_memory(tmp_path):
+    """Streamed constant-ratio resample (a constant speed curve through the
+    two-pass restore) produces the same pitch shift as the in-memory global
+    resample; the two engines differ only by a constant sub-window offset
+    (different position conventions), so compare after xcorr alignment."""
+    from pyaudiorestoration_tpu.pipelines import humspeed
+
+    n = int(4.0 * SR)
+    t = np.arange(n) / SR
+    sig = (np.sin(2 * np.pi * 440 * t) * 0.5).astype(np.float32)[:, None]
+    p_mem, p_str = _pair(tmp_path, sig)
+    ratio = 1.02
+    o_mem = humspeed.resample_file(p_mem, ratio=ratio, stream=False)
+    o_str = humspeed.resample_file(p_str, ratio=ratio, stream=True)
+    a, _, _ = audio_io.read_file(o_mem)
+    b, _, _ = audio_io.read_file(o_str)
+    assert abs(len(a) - len(b)) < 1024
+    # both outputs carry the ratio-shifted tone
+    from pyaudiorestoration_tpu.utils.metrics import flutter
+
+    for y in (a, b):
+        x = y[:, 0].astype(np.float64)
+        idx = np.where(np.bitwise_xor(x[1:] > 0, x[:-1] > 0))[0]
+        frac = x[idx] / (x[idx] - x[idx + 1])
+        cr = idx + frac
+        freq = SR / np.mean(np.diff(cr[len(cr) // 4: -len(cr) // 4])) / 2
+        assert abs(freq - 440 * ratio) < 1.0, freq
+    # xcorr-align then compare the interior
+    h = 8192
+    m = min(len(a), len(b)) - h
+    xa, xb = a[h:m, 0], b[h:m, 0]
+    lag_scan = [np.dot(xa[64:4096], xb[64 + k:4096 + k])
+                for k in range(-64, 65)]
+    k = int(np.argmax(lag_scan)) - 64
+    xa2 = xa[64:20000]
+    xb2 = xb[64 + k:20000 + k]
+    np.testing.assert_allclose(xa2, xb2, atol=5e-3)
