@@ -151,6 +151,8 @@ def build_parser():
     sp.add_argument("--harmonies", type=int, default=2)
     sp.add_argument("--tolerance", type=float, default=8)
     sp.add_argument("--analyze-only", action="store_true")
+    sp.add_argument("--stream", action="store_true",
+                    help="force the blockwise larger-than-memory resample")
 
     sp = sub.add_parser("pan", help="pan matching (pypan)")
     sp.add_argument("input")
@@ -389,7 +391,9 @@ def _dispatch(args):
         if args.analyze_only or not matches:
             print(json.dumps({"matches": matches}))
         else:
-            out = humspeed.resample_file(args.input, ratio=matches[-1]["ratio"])
+            out = humspeed.resample_file(
+                args.input, ratio=matches[-1]["ratio"],
+                stream=True if args.stream else "auto")
             print(json.dumps({"matches": matches, "outputs": [out]}))
     elif args.cmd == "pan":
         from .pipelines import pan
