@@ -231,15 +231,17 @@ def main(argv=None):
 def _dispatch(args):
     if args.cmd == "respeed":
         from .pipelines import respeeder
-        if args.fast or args.stream:
+        if args.input.endswith(".spd"):
+            out = respeeder.run_project(
+                args.input, out_suffix=args.suffix,
+                stream=True if args.stream else "auto")
+        elif args.fast or args.stream:
             from .pipelines import respeeder_device
             out = [respeeder_device.restore_file_fast(
                 args.input, f0_hz=args.f0, tolerance_st=args.tolerance,
                 fft_size=args.fft_size, fft_overlap=args.fft_overlap,
                 zeropad=args.zeropad, sinc_quality=args.sinc_quality,
                 suffix=args.suffix, stream=True if args.stream else "auto")]
-        elif args.input.endswith(".spd"):
-            out = respeeder.run_project(args.input, out_suffix=args.suffix)
         else:
             trail = None
             if args.trail:

@@ -84,10 +84,38 @@ def respeed(filenames, lines=(), regs=(), sr=None, hop=None, duration=None,
         use_channels=use_channels, suffix=suffix)
 
 
-def run_project(project_path, audio_path=None, out_suffix=""):
-    """Execute a ``.spd`` project headlessly: load markers, resample source."""
+def run_project(project_path, audio_path=None, out_suffix="", stream="auto",
+                stream_threshold_bytes: int = 1 << 30):
+    """Execute a ``.spd`` project headlessly: load markers, resample source.
+
+    ``stream``: larger-than-memory replay — the master curve (frame-rate
+    host math from the markers, no audio decode required) drives the
+    two-pass streamed restore via its ``speed_curve`` override."""
+    from ..utils import streaming
+
     proj = project.Project.load(project_path)
     audio_path = audio_path or proj.settings.get("source") or proj.settings.get("reference")
+    if streaming.should_stream(audio_path, stream, stream_threshold_bytes):
+        from . import respeeder_device as rdev
+
+        fft_size = proj.fft_size
+        hop = proj.hop
+        with audio_io.StreamReader(audio_path) as r:
+            sr = r.sample_rate
+            n = int(r.frames)
+        duration = n / sr
+        curve = get_speed_curve(proj.marker_list("lines"),
+                                proj.marker_list("regs"), sr, hop, duration)
+        n_frames = (n + 2 * (fft_size // 2) - fft_size) // hop + 1
+        t_frames = np.arange(n_frames) * hop / sr
+        # get_speed_curve already returns LINEAR factors (get_linspace)
+        speeds = np.interp(t_frames, curve[:, 0], curve[:, 1])
+        out = rdev.restore_file_streamed(
+            audio_path, fft_size=fft_size, fft_overlap=fft_size // hop,
+            sinc_quality=int(proj.settings.get("sinc_quality", 50)),
+            suffix=out_suffix or proj.settings.get("suffix", ""),
+            speed_curve=speeds)
+        return [out]
     signal, sr, channels = audio_io.read_file(audio_path)
     duration = len(signal) / sr
     return respeed(

@@ -364,3 +364,34 @@ def test_humspeed_streamed_matches_memory(tmp_path):
     xa2 = xa[64:20000]
     xb2 = xb[64 + k:20000 + k]
     np.testing.assert_allclose(xa2, xb2, atol=5e-3)
+
+
+def test_spd_project_streamed_replay(tmp_path):
+    """A saved .spd project replays through the streamed two-pass restore
+    (master curve -> speed_curve override) with the same flutter fix as the
+    in-memory replay."""
+    from pyaudiorestoration_tpu.pipelines import respeeder
+    from pyaudiorestoration_tpu.utils import metrics
+
+    sr = 22050
+    n = 6 * sr
+    t = np.arange(n) / sr
+    speed = 1.0 + 0.012 * np.sin(2 * np.pi * 1.4 * t)
+    sig = (np.sin(2 * np.pi * 2000 * np.cumsum(speed) / sr) * 0.5).astype(np.float32)
+    p_mem = str(tmp_path / "m.wav")
+    p_str = str(tmp_path / "s.wav")
+    audio_io.write_wav(p_mem, sig[:, None], sr)
+    audio_io.write_wav(p_str, sig[:, None], sr)
+    kw = dict(fft_size=2048, fft_overlap=8, zeropad=2, sinc_quality=16,
+              save_project=True)
+    respeeder.restore_file(p_mem, **kw)
+    respeeder.restore_file(p_str, **kw)
+    out_mem = respeeder.run_project(str(tmp_path / "m.spd"), stream=False,
+                                    out_suffix="_replay")
+    out_str = respeeder.run_project(str(tmp_path / "s.spd"), stream=True,
+                                    out_suffix="_replay")
+    a, _, _ = audio_io.read_file(out_mem[0])
+    b, _, _ = audio_io.read_file(out_str[0])
+    f_in = metrics.flutter(sig, sr)
+    assert metrics.flutter(a, sr) < f_in / 5
+    assert metrics.flutter(b, sr) < f_in / 5
