@@ -274,12 +274,13 @@ static const uint32_t kFlacSampleRates[16] = {
     0, 88200, 176400, 192000, 8000, 16000, 22050, 24000, 32000, 44100, 48000,
     96000, 0, 0, 0, 0};
 
-bool decode_flac(const uint8_t* buf, size_t n, AudioData& out) {
+// Parse the fLaC marker + metadata blocks; on success ``first_frame`` is the
+// byte offset of the first audio frame.
+bool parse_flac_header(const uint8_t* buf, size_t n, FlacStreamInfo& info,
+                       size_t& first_frame) {
   if (n < 8 || memcmp(buf, "fLaC", 4) != 0) return false;
   size_t pos = 4;
-  FlacStreamInfo info;
   bool have_info = false;
-  // metadata blocks
   while (pos + 4 <= n) {
     uint8_t hdr = buf[pos];
     bool last = hdr & 0x80u;
@@ -305,6 +306,94 @@ bool decode_flac(const uint8_t* buf, size_t n, AudioData& out) {
     if (last) break;
   }
   if (!have_info || info.sample_rate == 0) return false;
+  first_frame = pos;
+  return true;
+}
+
+// Decode ONE frame at br's position into ``chan``; 1 = frame decoded,
+// 0 = clean end (sync mismatch / EOF, trailing junk tolerated), -1 = error.
+int decode_flac_frame(BitReader& br, const FlacStreamInfo& info,
+                      std::vector<std::vector<int64_t>>& chan,
+                      uint32_t& block_size) {
+  if (br.byte_pos + 2 >= br.size || br.error) return 0;
+  uint32_t sync = (uint32_t)br.read_bits(14);
+  if (br.error) return 0;
+  if (sync != 0x3FFE) return 0;  // trailing junk tolerated
+  br.read_bit();  // reserved
+  br.read_bit();  // blocking strategy
+  uint32_t bs_code = (uint32_t)br.read_bits(4);
+  uint32_t sr_code = (uint32_t)br.read_bits(4);
+  uint32_t ch_code = (uint32_t)br.read_bits(4);
+  uint32_t ss_code = (uint32_t)br.read_bits(3);
+  br.read_bit();  // reserved
+  read_utf8_coded(br);
+  if (bs_code == 6)
+    block_size = (uint32_t)br.read_bits(8) + 1;
+  else if (bs_code == 7)
+    block_size = (uint32_t)br.read_bits(16) + 1;
+  else
+    block_size = kFlacBlockSizes[bs_code];
+  if (sr_code == 12)
+    br.read_bits(8);
+  else if (sr_code == 13 || sr_code == 14)
+    br.read_bits(16);
+  br.read_bits(8);  // CRC-8
+  if (block_size == 0 || br.error) return -1;
+
+  int bps = (int)info.bits_per_sample;
+  switch (ss_code) {
+    case 0: break;  // from STREAMINFO
+    case 1: bps = 8; break;
+    case 2: bps = 12; break;
+    case 4: bps = 16; break;
+    case 5: bps = 20; break;
+    case 6: bps = 24; break;
+    case 7: bps = 32; break;
+    default: return -1;
+  }
+
+  uint32_t nch;
+  if (ch_code < 8) {
+    nch = ch_code + 1;
+    if (nch != info.channels) return -1;
+    for (uint32_t c = 0; c < nch; ++c)
+      if (!decode_flac_subframe(br, block_size, bps, chan[c])) return -1;
+  } else if (ch_code <= 10) {
+    nch = 2;
+    if (info.channels != 2) return -1;
+    // side channel carries one extra bit
+    int bps0 = bps + (ch_code == 9 ? 1 : 0);
+    int bps1 = bps + (ch_code != 9 ? 1 : 0);
+    if (!decode_flac_subframe(br, block_size, bps0, chan[0])) return -1;
+    if (!decode_flac_subframe(br, block_size, bps1, chan[1])) return -1;
+    if (ch_code == 8) {  // left/side -> right = left - side
+      for (uint32_t i = 0; i < block_size; ++i)
+        chan[1][i] = chan[0][i] - chan[1][i];
+    } else if (ch_code == 9) {  // side/right -> left = side + right
+      for (uint32_t i = 0; i < block_size; ++i)
+        chan[0][i] = chan[0][i] + chan[1][i];
+    } else {  // mid/side
+      for (uint32_t i = 0; i < block_size; ++i) {
+        int64_t mid = chan[0][i];
+        int64_t side = chan[1][i];
+        mid = (mid << 1) | (side & 1);
+        chan[0][i] = (mid + side) >> 1;
+        chan[1][i] = (mid - side) >> 1;
+      }
+    }
+  } else {
+    return -1;
+  }
+  br.align_byte();
+  br.read_bits(16);  // CRC-16
+  if (br.error) return -1;
+  return 1;
+}
+
+bool decode_flac(const uint8_t* buf, size_t n, AudioData& out) {
+  FlacStreamInfo info;
+  size_t pos;
+  if (!parse_flac_header(buf, n, info, pos)) return false;
 
   out.sample_rate = (int)info.sample_rate;
   out.channels = (int)info.channels;
@@ -317,81 +406,11 @@ bool decode_flac(const uint8_t* buf, size_t n, AudioData& out) {
   const double scale = 1.0 / (double)(1u << (info.bits_per_sample - 1));
   std::vector<std::vector<int64_t>> chan(info.channels);
 
-  while (br.byte_pos + 2 < n && !br.error) {
-    // frame header: 14-bit sync
-    uint32_t sync = (uint32_t)br.read_bits(14);
-    if (br.error) break;
-    if (sync != 0x3FFE) return out.frames > 0;  // trailing junk tolerated
-    br.read_bit();  // reserved
-    br.read_bit();  // blocking strategy
-    uint32_t bs_code = (uint32_t)br.read_bits(4);
-    uint32_t sr_code = (uint32_t)br.read_bits(4);
-    uint32_t ch_code = (uint32_t)br.read_bits(4);
-    uint32_t ss_code = (uint32_t)br.read_bits(3);
-    br.read_bit();  // reserved
-    read_utf8_coded(br);
-    uint32_t block_size;
-    if (bs_code == 6)
-      block_size = (uint32_t)br.read_bits(8) + 1;
-    else if (bs_code == 7)
-      block_size = (uint32_t)br.read_bits(16) + 1;
-    else
-      block_size = kFlacBlockSizes[bs_code];
-    if (sr_code == 12)
-      br.read_bits(8);
-    else if (sr_code == 13 || sr_code == 14)
-      br.read_bits(16);
-    br.read_bits(8);  // CRC-8
-    if (block_size == 0 || br.error) return false;
-
-    int bps = (int)info.bits_per_sample;
-    switch (ss_code) {
-      case 0: break;  // from STREAMINFO
-      case 1: bps = 8; break;
-      case 2: bps = 12; break;
-      case 4: bps = 16; break;
-      case 5: bps = 20; break;
-      case 6: bps = 24; break;
-      case 7: bps = 32; break;
-      default: return false;
-    }
-
-    uint32_t nch;
-    if (ch_code < 8) {
-      nch = ch_code + 1;
-      if (nch != info.channels) return false;
-      for (uint32_t c = 0; c < nch; ++c)
-        if (!decode_flac_subframe(br, block_size, bps, chan[c])) return false;
-    } else if (ch_code <= 10) {
-      nch = 2;
-      if (info.channels != 2) return false;
-      // side channel carries one extra bit
-      int bps0 = bps + (ch_code == 9 ? 1 : 0);
-      int bps1 = bps + (ch_code != 9 ? 1 : 0);
-      if (!decode_flac_subframe(br, block_size, bps0, chan[0])) return false;
-      if (!decode_flac_subframe(br, block_size, bps1, chan[1])) return false;
-      if (ch_code == 8) {  // left/side -> right = left - side
-        for (uint32_t i = 0; i < block_size; ++i)
-          chan[1][i] = chan[0][i] - chan[1][i];
-      } else if (ch_code == 9) {  // side/right -> left = side + right
-        for (uint32_t i = 0; i < block_size; ++i)
-          chan[0][i] = chan[0][i] + chan[1][i];
-      } else {  // mid/side
-        for (uint32_t i = 0; i < block_size; ++i) {
-          int64_t mid = chan[0][i];
-          int64_t side = chan[1][i];
-          mid = (mid << 1) | (side & 1);
-          chan[0][i] = (mid + side) >> 1;
-          chan[1][i] = (mid - side) >> 1;
-        }
-      }
-    } else {
-      return false;
-    }
-    br.align_byte();
-    br.read_bits(16);  // CRC-16
-    if (br.error) return false;
-
+  for (;;) {
+    uint32_t block_size = 0;
+    int rc = decode_flac_frame(br, info, chan, block_size);
+    if (rc == 0) break;
+    if (rc < 0) return false;
     size_t base = out.samples.size();
     out.samples.resize(base + (size_t)block_size * info.channels);
     for (uint32_t i = 0; i < block_size; ++i)
@@ -537,8 +556,10 @@ void wr_u16(FILE* f, uint16_t v) {
 namespace {
 
 // ---------------------------------------------------------------------------
-// Streaming reader: random-access block reads without decoding whole WAVs.
-// FLAC falls back to a fully decoded in-memory buffer.
+// Streaming reader: random-access block reads without decoding whole files.
+// WAV reads sample ranges directly; FLAC maps the container (mmap where
+// available), indexes frame offsets once at open (one header+subframe walk,
+// O(1) retained memory), then decodes only the frames a read touches.
 // ---------------------------------------------------------------------------
 struct StreamReader {
   FILE* file = nullptr;       // open for WAV streaming
@@ -548,13 +569,133 @@ struct StreamReader {
   int sample_rate = 0;
   int channels = 0;
   int64_t frames = 0;
-  AudioData decoded;          // used when streaming is not possible (FLAC)
+  AudioData decoded;          // used when streaming is not possible
   bool in_memory = false;
 
-  ~StreamReader() {
-    if (file) fclose(file);
-  }
+  // FLAC streaming state
+  bool flac = false;
+  const uint8_t* flac_data = nullptr;
+  size_t flac_size = 0;
+  bool flac_mapped = false;          // mmap vs owned buffer
+  std::vector<uint8_t> flac_owned;   // fallback when mmap is unavailable
+  FlacStreamInfo flac_info;
+  struct FlacFrameIdx { int64_t sample; size_t offset; };
+  std::vector<FlacFrameIdx> flac_index;  // frame starts (sample, byte)
+
+  ~StreamReader();
 };
+
+#if !defined(_WIN32)
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+#endif
+
+StreamReader::~StreamReader() {
+  if (file) fclose(file);
+#if !defined(_WIN32)
+  if (flac_mapped && flac_data) munmap((void*)flac_data, flac_size);
+#endif
+}
+
+// Map (or read) the whole container and index every FLAC frame's byte
+// offset + first sample by walking headers and subframes once (samples are
+// decoded into a scratch and discarded — container bytes are the only
+// retained state, and with mmap those stay on disk until touched).
+bool open_flac_stream(const char* path, StreamReader& s) {
+#if !defined(_WIN32)
+  int fd = open(path, O_RDONLY);
+  if (fd >= 0) {
+    struct stat st;
+    if (fstat(fd, &st) == 0 && st.st_size > 4) {
+      void* m = mmap(nullptr, (size_t)st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+      if (m != MAP_FAILED) {
+        s.flac_data = (const uint8_t*)m;
+        s.flac_size = (size_t)st.st_size;
+        s.flac_mapped = true;
+      }
+    }
+    close(fd);
+  }
+#endif
+  if (!s.flac_data) {
+    if (!read_whole_file(path, s.flac_owned)) return false;
+    s.flac_data = s.flac_owned.data();
+    s.flac_size = s.flac_owned.size();
+  }
+  size_t pos;
+  if (!parse_flac_header(s.flac_data, s.flac_size, s.flac_info, pos)) {
+#if !defined(_WIN32)
+    if (s.flac_mapped) munmap((void*)s.flac_data, s.flac_size);
+#endif
+    s.flac_data = nullptr;
+    s.flac_size = 0;
+    s.flac_mapped = false;
+    s.flac_owned.clear();
+    s.flac_owned.shrink_to_fit();
+    return false;
+  }
+  BitReader br(s.flac_data, s.flac_size);
+  br.byte_pos = pos;
+  std::vector<std::vector<int64_t>> chan(s.flac_info.channels);
+  int64_t sample = 0;
+  for (;;) {
+    size_t frame_off = br.byte_pos;
+    uint32_t block_size = 0;
+    int rc = decode_flac_frame(br, s.flac_info, chan, block_size);
+    if (rc == 0) break;
+    if (rc < 0) {
+      if (s.flac_index.empty()) return false;
+      break;  // keep the valid prefix of a truncated file
+    }
+    s.flac_index.push_back({sample, frame_off});
+    sample += block_size;
+    if (s.flac_info.total_samples &&
+        (uint64_t)sample >= s.flac_info.total_samples)
+      break;
+  }
+  if (s.flac_index.empty()) return false;
+  s.flac = true;
+  s.sample_rate = (int)s.flac_info.sample_rate;
+  s.channels = (int)s.flac_info.channels;
+  s.frames = sample;
+  return true;
+}
+
+int flac_stream_read(StreamReader& s, int64_t start, int64_t count, float* out) {
+  const double scale =
+      1.0 / (double)(1u << (s.flac_info.bits_per_sample - 1));
+  // first frame whose span can contain `start`
+  size_t lo = 0, hi = s.flac_index.size();
+  while (lo + 1 < hi) {
+    size_t mid = (lo + hi) / 2;
+    if (s.flac_index[mid].sample <= start)
+      lo = mid;
+    else
+      hi = mid;
+  }
+  BitReader br(s.flac_data, s.flac_size);
+  br.byte_pos = s.flac_index[lo].offset;
+  int64_t sample = s.flac_index[lo].sample;
+  std::vector<std::vector<int64_t>> chan(s.flac_info.channels);
+  int64_t end = start + count;
+  while (sample < end) {
+    uint32_t block_size = 0;
+    int rc = decode_flac_frame(br, s.flac_info, chan, block_size);
+    if (rc <= 0) return -1;
+    int64_t f0 = sample;
+    int64_t f1 = sample + block_size;
+    int64_t a = f0 > start ? f0 : start;
+    int64_t b = f1 < end ? f1 : end;
+    for (int64_t i = a; i < b; ++i)
+      for (uint32_t c = 0; c < s.flac_info.channels; ++c)
+        out[(size_t)(i - start) * s.channels + c] =
+            (float)(chan[c][(size_t)(i - f0)] * scale);
+    sample = f1;
+  }
+  return 0;
+}
 
 bool open_wav_stream(const char* path, StreamReader& s) {
   FILE* f = fopen(path, "rb");
@@ -618,6 +759,7 @@ bool open_wav_stream(const char* path, StreamReader& s) {
 
 int stream_read_block(StreamReader& s, int64_t start, int64_t count, float* out) {
   if (start < 0 || start + count > s.frames) return -1;
+  if (s.flac) return flac_stream_read(s, start, count, out);
   if (s.in_memory) {
     memcpy(out, s.decoded.samples.data() + (size_t)start * s.channels,
            (size_t)count * s.channels * sizeof(float));
@@ -663,7 +805,8 @@ extern "C" {
 void* audioio_stream_open(const char* path) {
   StreamReader* s = new StreamReader();
   if (open_wav_stream(path, *s)) return s;
-  // fall back: decode fully (FLAC or odd WAV layouts)
+  if (open_flac_stream(path, *s)) return s;
+  // fall back: decode fully (odd WAV layouts)
   if (decode_any(path, s->decoded)) {
     s->in_memory = true;
     s->sample_rate = s->decoded.sample_rate;
@@ -673,6 +816,44 @@ void* audioio_stream_open(const char* path) {
   }
   delete s;
   return nullptr;
+}
+
+// Header-only probe: sample rate / channels / frames WITHOUT decoding or
+// indexing (WAV chunk walk, or FLAC STREAMINFO).  Returns 0 on success.
+// The auto-stream thresholds use this so "should this file stream?" costs
+// a few KB of header reads, never a decode pass.
+int audioio_probe(const char* path, int* sample_rate, int* channels,
+                  long long* frames) {
+  {
+    StreamReader s;
+    if (open_wav_stream(path, s)) {
+      *sample_rate = s.sample_rate;
+      *channels = s.channels;
+      *frames = s.frames;
+      return 0;
+    }
+  }
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  // STREAMINFO is mandatory and FIRST (FLAC spec): marker + block header +
+  // 34-byte payload = 46 bytes is all the probe needs
+  uint8_t head[46];
+  size_t got = fread(head, 1, sizeof(head), f);
+  fclose(f);
+  if (got == sizeof(head) && memcmp(head, "fLaC", 4) == 0 &&
+      (head[4] & 0x7Fu) == 0) {
+    const uint8_t* p = head + 8;
+    uint32_t sr = ((uint32_t)p[10] << 12) | ((uint32_t)p[11] << 4) | (p[12] >> 4);
+    if (sr) {
+      *sample_rate = (int)sr;
+      *channels = (int)(((p[12] >> 1) & 0x7u) + 1);
+      *frames = (long long)(((uint64_t)(p[13] & 0x0Fu) << 32) |
+                            ((uint64_t)p[14] << 24) | ((uint64_t)p[15] << 16) |
+                            ((uint64_t)p[16] << 8) | p[17]);
+      return 0;
+    }
+  }
+  return -1;
 }
 
 int audioio_stream_sample_rate(void* h) { return ((StreamReader*)h)->sample_rate; }

@@ -82,16 +82,40 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_float)]
         lib.audioio_stream_close.restype = None
         lib.audioio_stream_close.argtypes = [ctypes.c_void_p]
+        lib.audioio_probe.restype = ctypes.c_int
+        lib.audioio_probe.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_longlong)]
         _lib = lib
     return _lib
+
+
+def probe_file(path):
+    """Header-only (sample_rate, channels, frames) — no decode, no frame
+    index; the auto-stream thresholds' fast path.  frames can be 0 for a
+    FLAC whose STREAMINFO omits the total; callers fall back to opening a
+    StreamReader then."""
+    import ctypes
+
+    lib = _get_lib()
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    fr = ctypes.c_longlong()
+    rc = lib.audioio_probe(str(path).encode(), ctypes.byref(sr),
+                           ctypes.byref(ch), ctypes.byref(fr))
+    if rc != 0:
+        raise OSError(f"cannot probe {path}")
+    return int(sr.value), int(ch.value), int(fr.value)
 
 
 class StreamReader:
     """Random-access block reader over an audio file (native runtime).
 
-    WAV streams directly from disk (no full decode) — the host-side data
-    loader for recordings larger than memory; FLAC falls back to an
-    in-memory decode.  Usage::
+    WAV streams directly from disk (no full decode); FLAC maps the
+    container, indexes frame offsets once at open, and decodes only the
+    frames a read touches (round 3 — previously FLAC fell back to a full
+    in-memory decode, defeating the larger-than-memory paths for the very
+    files they target).  Usage::
 
         with StreamReader(path) as r:
             block = r.read(start_frame, num_frames)   # (num, channels) f32

@@ -18,9 +18,17 @@ __all__ = ["iter_blocks", "stream_trace", "stream_process",
 def decoded_bytes(path) -> int:
     """Decoded float32 size of an audio file from its HEADER (frames x
     channels x 4) — the honest auto-stream threshold.  Container bytes
-    undercount badly for FLAC (a 1 GiB file can decode to >4 GiB)."""
+    undercount badly for FLAC (a 1 GiB file can decode to >4 GiB).  Uses
+    the native header-only probe (no decode, no frame indexing); a FLAC
+    without a STREAMINFO total falls back to opening a reader."""
     from . import audio_io
 
+    try:
+        sr, ch, frames = audio_io.probe_file(path)
+        if frames > 0:
+            return frames * ch * 4
+    except OSError:
+        pass
     with audio_io.StreamReader(path) as r:
         return int(r.frames) * int(r.channels) * 4
 

@@ -121,3 +121,45 @@ def test_stream_writer_rf64_finalize(tmp_path, rng):
     r = audio_io.StreamReader(path)
     assert r.frames == 4096
     np.testing.assert_array_equal(r.read(4000, 96), sig[4000:])
+
+
+def test_flac_stream_reader_random_access(samples_dir):
+    """FLAC streaming (round 3): the reader indexes frames at open and
+    decodes on demand — random-access block reads must be bit-identical to
+    the whole-file decode on every fixture, with no in-memory fallback."""
+    import numpy as np
+
+    from pyaudiorestoration_tpu.utils import audio_io
+
+    for name in ("flutter.flac", "rhythm.flac", "dropouts_sample.flac"):
+        path = str(samples_dir / name)
+        full, sr, ch = audio_io.read_file(path)
+        with audio_io.StreamReader(path) as r:
+            assert r.sample_rate == sr and r.channels == ch
+            assert int(r.frames) == len(full)
+            n = len(full)
+            rng = np.random.default_rng(7)
+            spans = [(0, 1000), (n - 1000, 1000), (n // 2 - 37, 4097)]
+            spans += [(int(rng.integers(0, n - 2048)), 2048) for _ in range(5)]
+            for start, count in spans:
+                blk = r.read(start, count)
+                np.testing.assert_array_equal(blk, full[start:start + count],
+                                              err_msg=f"{name} @{start}")
+
+
+def test_probe_file_header_only(samples_dir, tmp_path):
+    """The native header probe returns (sr, channels, frames) for WAV and
+    FLAC without decoding, matching the full reader."""
+    import numpy as np
+
+    from pyaudiorestoration_tpu.utils import audio_io, streaming
+
+    flac = str(samples_dir / "flutter.flac")
+    sig, sr, ch = audio_io.read_file(flac)
+    psr, pch, pfr = audio_io.probe_file(flac)
+    assert (psr, pch, pfr) == (sr, ch, len(sig))
+    wav = str(tmp_path / "a.wav")
+    audio_io.write_wav(wav, sig[:1000], sr)
+    psr, pch, pfr = audio_io.probe_file(wav)
+    assert (psr, pch, pfr) == (sr, ch, 1000)
+    assert streaming.decoded_bytes(flac) == len(sig) * ch * 4
