@@ -636,24 +636,69 @@ bool open_flac_stream(const char* path, StreamReader& s) {
     s.flac_owned.shrink_to_fit();
     return false;
   }
-  BitReader br(s.flac_data, s.flac_size);
-  br.byte_pos = pos;
-  std::vector<std::vector<int64_t>> chan(s.flac_info.channels);
-  int64_t sample = 0;
-  for (;;) {
-    size_t frame_off = br.byte_pos;
-    uint32_t block_size = 0;
-    int rc = decode_flac_frame(br, s.flac_info, chan, block_size);
-    if (rc == 0) break;
-    if (rc < 0) {
-      if (s.flac_index.empty()) return false;
-      break;  // keep the valid prefix of a truncated file
+  // frame-index sidecar: the index walk decodes every frame once; streamed
+  // tools open a file several times (profile pass, engine pass), so cache
+  // the index next to the file, keyed by the container size
+  std::string idx_path = std::string(path) + ".flacidx";
+  int64_t total_from_cache = -1;
+  {
+    FILE* fi = fopen(idx_path.c_str(), "rb");
+    if (fi) {
+      uint64_t hdr[4];  // magic, container size, n entries, total samples
+      if (fread(hdr, sizeof(uint64_t), 4, fi) == 4 &&
+          hdr[0] == 0x464C414349445831ull && hdr[1] == (uint64_t)s.flac_size &&
+          hdr[2] > 0 && hdr[2] < (1ull << 40)) {
+        std::vector<uint64_t> raw(2 * hdr[2]);
+        if (fread(raw.data(), sizeof(uint64_t), raw.size(), fi) == raw.size()) {
+          s.flac_index.resize(hdr[2]);
+          for (uint64_t i = 0; i < hdr[2]; ++i)
+            s.flac_index[i] = {(int64_t)raw[2 * i], (size_t)raw[2 * i + 1]};
+          total_from_cache = (int64_t)hdr[3];
+        }
+      }
+      fclose(fi);
     }
-    s.flac_index.push_back({sample, frame_off});
-    sample += block_size;
-    if (s.flac_info.total_samples &&
-        (uint64_t)sample >= s.flac_info.total_samples)
-      break;
+  }
+  int64_t sample = 0;
+  if (total_from_cache >= 0) {
+    sample = total_from_cache;
+  } else {
+    BitReader br(s.flac_data, s.flac_size);
+    br.byte_pos = pos;
+    std::vector<std::vector<int64_t>> chan(s.flac_info.channels);
+    for (;;) {
+      size_t frame_off = br.byte_pos;
+      uint32_t block_size = 0;
+      int rc = decode_flac_frame(br, s.flac_info, chan, block_size);
+      if (rc == 0) break;
+      if (rc < 0) {
+        if (s.flac_index.empty()) return false;
+        break;  // keep the valid prefix of a truncated file
+      }
+      s.flac_index.push_back({sample, frame_off});
+      sample += block_size;
+      if (s.flac_info.total_samples &&
+          (uint64_t)sample >= s.flac_info.total_samples)
+        break;
+    }
+    if (!s.flac_index.empty()) {
+      FILE* fo = fopen(idx_path.c_str(), "wb");
+      if (fo) {  // best-effort (read-only dirs just skip the cache)
+        uint64_t hdr[4] = {0x464C414349445831ull, (uint64_t)s.flac_size,
+                           (uint64_t)s.flac_index.size(), (uint64_t)sample};
+        std::vector<uint64_t> raw;
+        raw.reserve(2 * s.flac_index.size());
+        for (auto& e : s.flac_index) {
+          raw.push_back((uint64_t)e.sample);
+          raw.push_back((uint64_t)e.offset);
+        }
+        bool ok = fwrite(hdr, sizeof(uint64_t), 4, fo) == 4 &&
+                  fwrite(raw.data(), sizeof(uint64_t), raw.size(), fo) ==
+                      raw.size();
+        fclose(fo);
+        if (!ok) remove(idx_path.c_str());
+      }
+    }
   }
   if (s.flac_index.empty()) return false;
   s.flac = true;

@@ -2,6 +2,8 @@
 
 import hashlib
 
+import os
+
 import numpy as np
 import pytest
 
@@ -163,3 +165,32 @@ def test_probe_file_header_only(samples_dir, tmp_path):
     psr, pch, pfr = audio_io.probe_file(wav)
     assert (psr, pch, pfr) == (sr, ch, 1000)
     assert streaming.decoded_bytes(flac) == len(sig) * ch * 4
+
+
+def test_flac_index_sidecar_cache(samples_dir, tmp_path):
+    """The frame index caches to a sidecar keyed by container size: a second
+    open reuses it (and a stale sidecar for a different file is rejected)."""
+    import shutil
+
+    import numpy as np
+
+    from pyaudiorestoration_tpu.utils import audio_io
+
+    src = str(tmp_path / "a.flac")
+    shutil.copy(str(samples_dir / "flutter.flac"), src)
+    full, sr, ch = audio_io.read_file(src)
+    with audio_io.StreamReader(src) as r:
+        b1 = r.read(1000, 2000)
+    idx = src + ".flacidx"
+    assert os.path.exists(idx)
+    with audio_io.StreamReader(src) as r:  # cached-index open
+        assert int(r.frames) == len(full)
+        b2 = r.read(1000, 2000)
+    np.testing.assert_array_equal(b1, b2)
+    np.testing.assert_array_equal(b1, full[1000:3000])
+    # stale sidecar (wrong container size) must be ignored and rebuilt
+    shutil.copy(str(samples_dir / "rhythm.flac"), src)
+    with audio_io.StreamReader(src) as r:
+        full2, sr2, _ = audio_io.read_file(src)
+        assert int(r.frames) == len(full2)
+        np.testing.assert_array_equal(r.read(500, 500), full2[500:1000])
