@@ -541,6 +541,233 @@ bool decode_any(const char* path, AudioData& out) {
   return decode_wav(buf.data(), buf.size(), out);
 }
 
+// ---------------------------------------------------------------------------
+// FLAC encoding (fixed predictors + rice residuals).  The reference can only
+// write WAV (io_ops.py:19-23); archives live as FLAC, so the framework
+// closes the loop: frames of 4096 samples, per-subframe best fixed
+// predictor (order 0-4 by residual cost), rice method 0 with one partition,
+// independent channels, proper CRC-8/CRC-16.  Decodable by any FLAC reader.
+// ---------------------------------------------------------------------------
+struct BitWriter {
+  std::vector<uint8_t> bytes;
+  uint32_t acc = 0;
+  int nbits = 0;
+
+  void put_bits(uint64_t v, int n) {
+    for (int i = n - 1; i >= 0; --i) {
+      acc = (acc << 1) | (uint32_t)((v >> i) & 1u);
+      if (++nbits == 8) {
+        bytes.push_back((uint8_t)acc);
+        acc = 0;
+        nbits = 0;
+      }
+    }
+  }
+
+  void put_unary(uint32_t q) {
+    while (q >= 32) {
+      put_bits(0, 32);
+      q -= 32;
+    }
+    put_bits(1, (int)q + 1);  // q zeros then a one
+  }
+
+  void align() {
+    if (nbits) put_bits(0, 8 - nbits);
+  }
+};
+
+uint8_t flac_crc8(const uint8_t* d, size_t n) {
+  uint8_t crc = 0;
+  for (size_t i = 0; i < n; ++i) {
+    crc ^= d[i];
+    for (int b = 0; b < 8; ++b)
+      crc = (crc & 0x80u) ? (uint8_t)((crc << 1) ^ 0x07u) : (uint8_t)(crc << 1);
+  }
+  return crc;
+}
+
+uint16_t flac_crc16(const uint8_t* d, size_t n) {
+  uint16_t crc = 0;
+  for (size_t i = 0; i < n; ++i) {
+    crc ^= (uint16_t)d[i] << 8;
+    for (int b = 0; b < 8; ++b)
+      crc = (crc & 0x8000u) ? (uint16_t)((crc << 1) ^ 0x8005u)
+                            : (uint16_t)(crc << 1);
+  }
+  return crc;
+}
+
+void put_utf8_coded(BitWriter& bw, uint64_t v) {
+  if (v < 0x80) {
+    bw.put_bits(v, 8);
+  } else if (v < 0x800) {
+    bw.put_bits(0xC0u | (v >> 6), 8);
+    bw.put_bits(0x80u | (v & 0x3Fu), 8);
+  } else if (v < 0x10000) {
+    bw.put_bits(0xE0u | (v >> 12), 8);
+    bw.put_bits(0x80u | ((v >> 6) & 0x3Fu), 8);
+    bw.put_bits(0x80u | (v & 0x3Fu), 8);
+  } else if (v < 0x200000) {
+    bw.put_bits(0xF0u | (v >> 18), 8);
+    bw.put_bits(0x80u | ((v >> 12) & 0x3Fu), 8);
+    bw.put_bits(0x80u | ((v >> 6) & 0x3Fu), 8);
+    bw.put_bits(0x80u | (v & 0x3Fu), 8);
+  } else {  // up to 2^26-1 frames is ample (4096-sample frames)
+    bw.put_bits(0xF8u | (v >> 24), 8);
+    for (int sh = 18; sh >= 0; sh -= 6)
+      bw.put_bits(0x80u | ((v >> sh) & 0x3Fu), 8);
+  }
+}
+
+// residual after a fixed predictor of the given order
+void fixed_residual(const int64_t* x, uint32_t n, int order, int64_t* r) {
+  switch (order) {
+    case 0:
+      for (uint32_t i = 0; i < n; ++i) r[i] = x[i];
+      break;
+    case 1:
+      for (uint32_t i = 1; i < n; ++i) r[i] = x[i] - x[i - 1];
+      break;
+    case 2:
+      for (uint32_t i = 2; i < n; ++i)
+        r[i] = x[i] - 2 * x[i - 1] + x[i - 2];
+      break;
+    case 3:
+      for (uint32_t i = 3; i < n; ++i)
+        r[i] = x[i] - 3 * x[i - 1] + 3 * x[i - 2] - x[i - 3];
+      break;
+    default:
+      for (uint32_t i = 4; i < n; ++i)
+        r[i] = x[i] - 4 * x[i - 1] + 6 * x[i - 2] - 4 * x[i - 3] + x[i - 4];
+      break;
+  }
+}
+
+void write_flac_subframe(BitWriter& bw, const int64_t* x, uint32_t n, int bps) {
+  // constant?
+  bool constant = true;
+  for (uint32_t i = 1; i < n && constant; ++i) constant = x[i] == x[0];
+  bw.put_bits(0, 1);  // padding
+  if (constant) {
+    bw.put_bits(0, 6);  // CONSTANT
+    bw.put_bits(0, 1);  // no wasted bits
+    bw.put_bits((uint64_t)x[0] & ((bps < 64 ? (1ull << bps) : 0ull) - 1ull), bps);
+    return;
+  }
+  // pick the fixed order with the smallest total |residual|
+  std::vector<int64_t> res(n), best(n);
+  int best_order = 0;
+  long double best_cost = -1;
+  for (int order = 0; order <= 4 && (uint32_t)order < n; ++order) {
+    fixed_residual(x, n, order, res.data());
+    long double cost = 0;
+    for (uint32_t i = (uint32_t)order; i < n; ++i)
+      cost += res[i] < 0 ? -(long double)res[i] : (long double)res[i];
+    if (best_cost < 0 || cost < best_cost) {
+      best_cost = cost;
+      best_order = order;
+      best = res;
+    }
+  }
+  uint32_t count = n - (uint32_t)best_order;
+  // rice parameter from the mean magnitude
+  long double mean = best_cost / (count ? count : 1) + 1;
+  int k = 0;
+  while ((1ll << (k + 1)) < mean && k < 14) ++k;
+  bw.put_bits(8u | (uint32_t)best_order, 6);  // FIXED
+  bw.put_bits(0, 1);                          // no wasted bits
+  for (int i = 0; i < best_order; ++i)
+    bw.put_bits((uint64_t)x[i] & ((1ull << bps) - 1ull), bps);
+  bw.put_bits(0, 2);  // residual method 0 (4-bit rice)
+  bw.put_bits(0, 4);  // partition order 0
+  // escape to raw if rice would explode (k capped at 14; 15 = escape).
+  // NB: order-r fixed residuals can need up to bps + r + 1 bits, so the raw
+  // width comes from the actual maximum, not from bps.
+  uint64_t rice_bits = 0;
+  uint64_t umax = 0;
+  for (uint32_t i = (uint32_t)best_order; i < n; ++i) {
+    uint64_t u = best[i] >= 0 ? ((uint64_t)best[i] << 1)
+                              : (((uint64_t)(-best[i]) << 1) - 1);
+    rice_bits += (u >> k) + 1 + (uint64_t)k;
+    if (u > umax) umax = u;
+  }
+  int raw_bits = 1;
+  while (raw_bits < 31 && (umax >> raw_bits)) ++raw_bits;
+  ++raw_bits;  // sign bit (u is the zigzag magnitude; residual needs one more)
+  if (rice_bits > (uint64_t)count * (uint64_t)raw_bits) {
+    bw.put_bits(0xF, 4);  // escape: raw residuals
+    bw.put_bits((uint32_t)raw_bits, 5);
+    for (uint32_t i = (uint32_t)best_order; i < n; ++i)
+      bw.put_bits((uint64_t)best[i] & ((1ull << raw_bits) - 1ull), raw_bits);
+    return;
+  }
+  bw.put_bits((uint32_t)k, 4);
+  for (uint32_t i = (uint32_t)best_order; i < n; ++i) {
+    uint64_t u = best[i] >= 0 ? ((uint64_t)best[i] << 1)
+                              : (((uint64_t)(-best[i]) << 1) - 1);
+    bw.put_unary((uint32_t)(u >> k));
+    if (k) bw.put_bits(u & ((1ull << k) - 1ull), k);
+  }
+}
+
+bool encode_flac(FILE* f, const float* data, int64_t frames, int channels,
+                 int sample_rate, int bps) {
+  const uint32_t kBlock = 4096;
+  const double scale = (double)(1u << (bps - 1));
+  const int64_t lim = (1ll << (bps - 1)) - 1;
+  // fLaC + STREAMINFO (md5 zero = unknown, permitted)
+  uint8_t si[4 + 4 + 34] = {'f', 'L', 'a', 'C', 0x80, 0, 0, 34};
+  uint32_t last_block = (uint32_t)(frames % kBlock);
+  uint32_t min_block = frames > kBlock ? kBlock : (last_block ? last_block : kBlock);
+  uint8_t* p = si + 8;
+  p[0] = (uint8_t)(min_block >> 8); p[1] = (uint8_t)min_block;
+  p[2] = (uint8_t)(kBlock >> 8); p[3] = (uint8_t)kBlock;
+  // min/max frame size unknown (0)
+  p[10] = (uint8_t)(sample_rate >> 12);
+  p[11] = (uint8_t)(sample_rate >> 4);
+  p[12] = (uint8_t)(((sample_rate & 0xF) << 4) | (((channels - 1) & 7) << 1) |
+                    (((bps - 1) >> 4) & 1));
+  p[13] = (uint8_t)((((bps - 1) & 0xF) << 4) | ((frames >> 32) & 0xF));
+  p[14] = (uint8_t)(frames >> 24); p[15] = (uint8_t)(frames >> 16);
+  p[16] = (uint8_t)(frames >> 8); p[17] = (uint8_t)frames;
+  if (fwrite(si, 1, sizeof(si), f) != sizeof(si)) return false;
+
+  std::vector<std::vector<int64_t>> chan(channels);
+  uint64_t frame_no = 0;
+  for (int64_t pos = 0; pos < frames; pos += kBlock, ++frame_no) {
+    uint32_t bs = (uint32_t)((frames - pos) < kBlock ? (frames - pos) : kBlock);
+    for (int c = 0; c < channels; ++c) {
+      chan[c].resize(bs);
+      for (uint32_t i = 0; i < bs; ++i) {
+        double v = data[(size_t)(pos + i) * channels + c] * scale;
+        int64_t q = (int64_t)(v >= 0 ? v + 0.5 : v - 0.5);
+        chan[c][i] = q > lim ? lim : (q < -lim - 1 ? -lim - 1 : q);
+      }
+    }
+    BitWriter bw;
+    bw.put_bits(0x3FFE, 14);
+    bw.put_bits(0, 1);  // reserved
+    bw.put_bits(0, 1);  // fixed blocksize stream
+    bw.put_bits(7, 4);  // blocksize: explicit 16-bit (bs - 1)
+    bw.put_bits(0, 4);  // sample rate: from STREAMINFO
+    bw.put_bits((uint32_t)(channels - 1), 4);  // independent channels
+    bw.put_bits(bps == 16 ? 4u : (bps == 24 ? 6u : 7u), 3);
+    bw.put_bits(0, 1);  // reserved
+    put_utf8_coded(bw, frame_no);
+    bw.put_bits(bs - 1, 16);
+    bw.put_bits(flac_crc8(bw.bytes.data(), bw.bytes.size()), 8);
+    for (int c = 0; c < channels; ++c)
+      write_flac_subframe(bw, chan[c].data(), bs, bps);
+    bw.align();
+    uint16_t crc = flac_crc16(bw.bytes.data(), bw.bytes.size());
+    bw.put_bits(crc, 16);
+    if (fwrite(bw.bytes.data(), 1, bw.bytes.size(), f) != bw.bytes.size())
+      return false;
+  }
+  return true;
+}
+
 void wr_u32(FILE* f, uint32_t v) {
   uint8_t b[4] = {(uint8_t)v, (uint8_t)(v >> 8), (uint8_t)(v >> 16),
                   (uint8_t)(v >> 24)};
@@ -933,6 +1160,21 @@ int audioio_read(void* h, float* out) {
 }
 
 void audioio_close(void* h) { delete (AudioData*)h; }
+
+// Writes a FLAC file from interleaved float samples quantized to
+// ``bits_per_sample`` (16 or 24).  Returns 0 on success.
+int audioio_write_flac(const char* path, const float* data, long long frames,
+                       int channels, int sample_rate, int bits_per_sample) {
+  if (bits_per_sample != 16 && bits_per_sample != 24) return -2;
+  if (channels < 1 || channels > 8 || frames <= 0) return -2;
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  bool ok = encode_flac(f, data, frames, channels, sample_rate,
+                        bits_per_sample);
+  fclose(f);
+  if (!ok) remove(path);
+  return ok ? 0 : -1;
+}
 
 // Writes an IEEE float32 WAV file from interleaved samples.
 int audioio_write_wav_f32(const char* path, const float* data, long long frames,

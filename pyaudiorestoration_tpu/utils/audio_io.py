@@ -82,6 +82,10 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_float)]
         lib.audioio_stream_close.restype = None
         lib.audioio_stream_close.argtypes = [ctypes.c_void_p]
+        lib.audioio_write_flac.restype = ctypes.c_int
+        lib.audioio_write_flac.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_longlong, ctypes.c_int, ctypes.c_int, ctypes.c_int]
         lib.audioio_probe.restype = ctypes.c_int
         lib.audioio_probe.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
@@ -286,6 +290,27 @@ def read_file(audio_path):
     if data.ndim == 1:
         data = data[:, None]
     return data, int(sr), data.shape[1]
+
+
+def write_flac(path, signal, sr, bits_per_sample=16):
+    """Write a FLAC file (fixed predictors + rice residuals, native encoder).
+
+    The reference can only write WAV (io_ops.py:19-23); tape archives live
+    as FLAC, so the framework writes the archive format too.  ``signal``:
+    (n,) or (n, C) float in [-1, 1], quantized to 16 or 24 bits.  Verified
+    bit-exact through the native decoder (tests/test_audio_io.py)."""
+    import ctypes
+
+    lib = _get_lib()
+    x = np.ascontiguousarray(np.asarray(signal, np.float32))
+    if x.ndim == 1:
+        x = x[:, None]
+    rc = lib.audioio_write_flac(
+        str(path).encode(), x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        x.shape[0], x.shape[1], int(sr), int(bits_per_sample))
+    if rc != 0:
+        raise OSError(f"FLAC write failed ({rc}) for {path}")
+    return path
 
 
 def write_wav(path, signal, sr, subtype="FLOAT"):

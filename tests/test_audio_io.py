@@ -194,3 +194,49 @@ def test_flac_index_sidecar_cache(samples_dir, tmp_path):
         full2, sr2, _ = audio_io.read_file(src)
         assert int(r.frames) == len(full2)
         np.testing.assert_array_equal(r.read(500, 500), full2[500:1000])
+
+
+def test_flac_encoder_roundtrip(tmp_path):
+    """The native FLAC encoder (fixed predictors + rice) round-trips
+    bit-exactly at the quantized depth through the native decoder, for mono
+    and stereo, 16 and 24 bit, odd lengths, and degenerate signals."""
+    sr = 16000
+    rng = np.random.default_rng(3)
+    cases = {
+        "tone+noise": (0.5 * np.sin(2 * np.pi * 440 * np.arange(12345) / sr)
+                       + 0.01 * rng.standard_normal(12345)),
+        "silence": np.zeros(5000),
+        "constant": np.full(4097, 0.25),
+        "noise": 0.9 * rng.standard_normal(9001) * 0.3,
+        "clip": np.clip(2.0 * np.sin(2 * np.pi * 50 * np.arange(6000) / sr), -1, 1),
+    }
+    for bits in (16, 24):
+        scale = float(1 << (bits - 1))
+        lim = (1 << (bits - 1)) - 1
+        for name, sig in cases.items():
+            for ch in (1, 2):
+                x = np.stack([sig, 0.5 * sig], -1)[:, :ch].astype(np.float32)
+                p = str(tmp_path / f"{name}_{bits}_{ch}.flac")
+                audio_io.write_flac(p, x, sr, bits_per_sample=bits)
+                back, sr2, ch2 = audio_io.read_file(p)
+                assert (sr2, ch2) == (sr, ch)
+                assert back.shape == x.shape
+                # the decoder must return EXACTLY the quantized values
+                q = np.clip(np.trunc(np.abs(x.astype(np.float64)) * scale + 0.5)
+                            * np.sign(x), -lim - 1, lim) / scale
+                np.testing.assert_array_equal(back.astype(np.float64), q,
+                                              err_msg=f"{name}/{bits}/{ch}")
+
+
+def test_flac_encoder_reencodes_fixture(samples_dir, tmp_path):
+    """Re-encoding a 16-bit fixture reproduces its samples exactly (the
+    fixture's decoded floats are already on the 16-bit grid)."""
+    full, sr, ch = audio_io.read_file(str(samples_dir / "flutter.flac"))
+    p = str(tmp_path / "re.flac")
+    audio_io.write_flac(p, full, sr, bits_per_sample=16)
+    back, sr2, ch2 = audio_io.read_file(p)
+    assert (sr2, ch2) == (sr, ch)
+    np.testing.assert_array_equal(back, full)
+    # and it streams
+    with audio_io.StreamReader(p) as r:
+        np.testing.assert_array_equal(r.read(777, 2048), full[777:777 + 2048])
