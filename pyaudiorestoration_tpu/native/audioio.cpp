@@ -745,20 +745,47 @@ bool encode_flac(FILE* f, const float* data, int64_t frames, int channels,
         chan[c][i] = q > lim ? lim : (q < -lim - 1 ? -lim - 1 : q);
       }
     }
+    // stereo decorrelation: pick mid/side when its order-2 residual cost
+    // beats the independent channels' (tape transfers are highly correlated)
+    bool use_ms = false;
+    std::vector<int64_t> mid, side;
+    if (channels == 2 && bs > 4) {
+      mid.resize(bs);
+      side.resize(bs);
+      for (uint32_t i = 0; i < bs; ++i) {
+        side[i] = chan[0][i] - chan[1][i];
+        mid[i] = (chan[0][i] + chan[1][i]) >> 1;
+      }
+      auto cost2 = [&](const std::vector<int64_t>& x) {
+        long double c = 0;
+        for (uint32_t i = 2; i < bs; ++i) {
+          int64_t r = x[i] - 2 * x[i - 1] + x[i - 2];
+          c += r < 0 ? -(long double)r : (long double)r;
+        }
+        return c;
+      };
+      use_ms = cost2(mid) + cost2(side) <
+               cost2(chan[0]) + cost2(chan[1]);
+    }
     BitWriter bw;
     bw.put_bits(0x3FFE, 14);
     bw.put_bits(0, 1);  // reserved
     bw.put_bits(0, 1);  // fixed blocksize stream
     bw.put_bits(7, 4);  // blocksize: explicit 16-bit (bs - 1)
     bw.put_bits(0, 4);  // sample rate: from STREAMINFO
-    bw.put_bits((uint32_t)(channels - 1), 4);  // independent channels
+    bw.put_bits(use_ms ? 10u : (uint32_t)(channels - 1), 4);
     bw.put_bits(bps == 16 ? 4u : (bps == 24 ? 6u : 7u), 3);
     bw.put_bits(0, 1);  // reserved
     put_utf8_coded(bw, frame_no);
     bw.put_bits(bs - 1, 16);
     bw.put_bits(flac_crc8(bw.bytes.data(), bw.bytes.size()), 8);
-    for (int c = 0; c < channels; ++c)
-      write_flac_subframe(bw, chan[c].data(), bs, bps);
+    if (use_ms) {
+      write_flac_subframe(bw, mid.data(), bs, bps);       // mid at bps
+      write_flac_subframe(bw, side.data(), bs, bps + 1);  // side carries +1
+    } else {
+      for (int c = 0; c < channels; ++c)
+        write_flac_subframe(bw, chan[c].data(), bs, bps);
+    }
     bw.align();
     uint16_t crc = flac_crc16(bw.bytes.data(), bw.bytes.size());
     bw.put_bits(crc, 16);

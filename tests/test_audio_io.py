@@ -240,3 +240,22 @@ def test_flac_encoder_reencodes_fixture(samples_dir, tmp_path):
     # and it streams
     with audio_io.StreamReader(p) as r:
         np.testing.assert_array_equal(r.read(777, 2048), full[777:777 + 2048])
+
+
+def test_flac_encoder_mid_side_stereo(tmp_path):
+    """Correlated stereo triggers mid/side frames; the round trip stays
+    exact (the decoder's ch_code 10 path reconstructs L/R)."""
+    sr = 16000
+    rng = np.random.default_rng(9)
+    t = np.arange(3 * sr) / sr
+    sig = (0.4 * np.sin(2 * np.pi * 330 * t)
+           + 0.02 * rng.standard_normal(len(t)))
+    x = np.stack([sig, sig * 0.97 + 0.001 * rng.standard_normal(len(t))],
+                 -1).astype(np.float32)
+    p = str(tmp_path / "ms.flac")
+    audio_io.write_flac(p, x, sr)
+    back, sr2, ch2 = audio_io.read_file(p)
+    scale, lim = 32768.0, 32767
+    q = np.clip(np.trunc(np.abs(x.astype(np.float64)) * scale + 0.5)
+                * np.sign(x), -32768, lim) / scale
+    np.testing.assert_array_equal(back.astype(np.float64), q)
