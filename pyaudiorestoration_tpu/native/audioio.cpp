@@ -8,6 +8,8 @@
 // /root/reference/util/io_ops.py:7-23) with a first-party native component.
 // Exposed through a C ABI consumed via ctypes (see ../utils/audio_io.py).
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -644,6 +646,37 @@ void fixed_residual(const int64_t* x, uint32_t n, int order, int64_t* r) {
   }
 }
 
+// Levinson-Durbin LPC fit (double autocorrelation); false on degenerate
+// input.
+bool compute_lpc(const int64_t* x, uint32_t n, int order, double* lpc) {
+  std::vector<double> ac(order + 1, 0.0);
+  for (int lag = 0; lag <= order; ++lag) {
+    double s = 0;
+    for (uint32_t i = (uint32_t)lag; i < n; ++i)
+      s += (double)x[i] * (double)x[i - lag];
+    ac[lag] = s;
+  }
+  if (!(ac[0] > 0)) return false;
+  std::vector<double> a(order, 0.0);
+  double e = ac[0];
+  for (int i = 0; i < order; ++i) {
+    double acc = ac[i + 1];
+    for (int j = 0; j < i; ++j) acc -= a[j] * ac[i - j];
+    double k = acc / e;
+    std::vector<double> na(a);
+    na[i] = k;
+    for (int j = 0; j < i; ++j) na[j] = a[j] - k * a[i - 1 - j];
+    a = na;
+    e *= (1 - k * k);
+    if (!(e > 0)) break;
+  }
+  for (int j = 0; j < order; ++j) {
+    if (!std::isfinite(a[j])) return false;
+    lpc[j] = a[j];
+  }
+  return true;
+}
+
 void write_flac_subframe(BitWriter& bw, const int64_t* x, uint32_t n, int bps) {
   // constant?
   bool constant = true;
@@ -670,15 +703,73 @@ void write_flac_subframe(BitWriter& bw, const int64_t* x, uint32_t n, int bps) {
       best = res;
     }
   }
+  // LPC candidate (order 8, precision 14): quantize coefficients with the
+  // decoder's exact integer prediction (pred >> shift) and keep it when its
+  // residual beats the best fixed predictor's
+  const int kLpcOrder = 8, kPrec = 14;
+  bool use_lpc = false;
+  std::vector<int64_t> qcoef(kLpcOrder);
+  int lpc_shift = 0;
+  if (n > (uint32_t)kLpcOrder * 2) {
+    double lpc[kLpcOrder];
+    if (compute_lpc(x, n, kLpcOrder, lpc)) {
+      double cmax = 0;
+      for (int j = 0; j < kLpcOrder; ++j)
+        cmax = std::max(cmax, std::fabs(lpc[j]));
+      if (cmax > 0) {
+        int headroom = 0;
+        while ((1 << headroom) <= (int)cmax + 1 && headroom < 16) ++headroom;
+        lpc_shift = kPrec - 1 - headroom;
+        if (lpc_shift > 15) lpc_shift = 15;
+        if (lpc_shift >= 0) {
+          int64_t cmin_q = -(1ll << (kPrec - 1));
+          int64_t cmax_q = (1ll << (kPrec - 1)) - 1;
+          for (int j = 0; j < kLpcOrder; ++j) {
+            double v = lpc[j] * (double)(1ll << lpc_shift);
+            int64_t q = (int64_t)(v >= 0 ? v + 0.5 : v - 0.5);
+            qcoef[j] = q < cmin_q ? cmin_q : (q > cmax_q ? cmax_q : q);
+          }
+          std::vector<int64_t> lres(n);
+          long double lcost = 0;
+          for (uint32_t i = kLpcOrder; i < n; ++i) {
+            int64_t pred = 0;
+            for (int j = 0; j < kLpcOrder; ++j)
+              pred += qcoef[j] * x[i - 1 - j];
+            lres[i] = x[i] - (pred >> lpc_shift);
+            lcost += lres[i] < 0 ? -(long double)lres[i] : (long double)lres[i];
+          }
+          // compare at equal footing: cost per coded sample plus the
+          // coefficient overhead (~order * precision bits)
+          if (lcost + (long double)kLpcOrder * kPrec / 8.0 < best_cost) {
+            use_lpc = true;
+            best = lres;
+            best_order = kLpcOrder;
+            best_cost = lcost;
+          }
+        }
+      }
+    }
+  }
   uint32_t count = n - (uint32_t)best_order;
   // rice parameter from the mean magnitude
   long double mean = best_cost / (count ? count : 1) + 1;
   int k = 0;
   while ((1ll << (k + 1)) < mean && k < 14) ++k;
-  bw.put_bits(8u | (uint32_t)best_order, 6);  // FIXED
-  bw.put_bits(0, 1);                          // no wasted bits
-  for (int i = 0; i < best_order; ++i)
-    bw.put_bits((uint64_t)x[i] & ((1ull << bps) - 1ull), bps);
+  if (use_lpc) {
+    bw.put_bits(32u | (uint32_t)(kLpcOrder - 1), 6);  // LPC
+    bw.put_bits(0, 1);                                // no wasted bits
+    for (int i = 0; i < kLpcOrder; ++i)
+      bw.put_bits((uint64_t)x[i] & ((1ull << bps) - 1ull), bps);
+    bw.put_bits((uint32_t)(kPrec - 1), 4);
+    bw.put_bits((uint64_t)lpc_shift & 0x1Fu, 5);
+    for (int i = 0; i < kLpcOrder; ++i)
+      bw.put_bits((uint64_t)qcoef[i] & ((1ull << kPrec) - 1ull), kPrec);
+  } else {
+    bw.put_bits(8u | (uint32_t)best_order, 6);  // FIXED
+    bw.put_bits(0, 1);                          // no wasted bits
+    for (int i = 0; i < best_order; ++i)
+      bw.put_bits((uint64_t)x[i] & ((1ull << bps) - 1ull), bps);
+  }
   bw.put_bits(0, 2);  // residual method 0 (4-bit rice)
   bw.put_bits(0, 4);  // partition order 0
   // escape to raw if rice would explode (k capped at 14; 15 = escape).
