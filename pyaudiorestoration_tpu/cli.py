@@ -34,6 +34,11 @@ def build_parser():
     p = argparse.ArgumentParser(prog="pyaudiorestoration_tpu",
                                 description="TPU-native audio restoration")
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--flac-out", nargs="?", const=24, type=int, default=None,
+                   metavar="BITS",
+                   help="write outputs as FLAC (native encoder) instead of "
+                        "float32 WAV; optional bit depth 16 or 24 (default 24)."
+                        " Applies to in-memory AND streamed export paths")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("respeed", help="wow & flutter removal (pyrespeeder)")
@@ -218,6 +223,10 @@ def main(argv=None):
     from .utils.device import enable_persistent_compile_cache
 
     enable_persistent_compile_cache()  # minutes-long kernel compiles: 1x/machine
+    if args.flac_out is not None:
+        from .utils import audio_io
+
+        audio_io.set_output_format("flac", bits=args.flac_out)
     try:
         return _dispatch(args)
     except (OSError, ValueError) as e:

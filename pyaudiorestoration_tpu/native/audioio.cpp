@@ -802,16 +802,15 @@ void write_flac_subframe(BitWriter& bw, const int64_t* x, uint32_t n, int bps) {
   }
 }
 
-bool encode_flac(FILE* f, const float* data, int64_t frames, int channels,
-                 int sample_rate, int bps) {
-  const uint32_t kBlock = 4096;
-  const double scale = (double)(1u << (bps - 1));
-  const int64_t lim = (1ll << (bps - 1)) - 1;
-  // fLaC + STREAMINFO (md5 zero = unknown, permitted)
-  uint8_t si[4 + 4 + 34] = {'f', 'L', 'a', 'C', 0x80, 0, 0, 34};
+const uint32_t kFlacEncBlock = 4096;
+
+// STREAMINFO bytes (the 18 used ones) at the given total-frame count; the
+// streaming writer rewrites these in place at close once the count is known.
+void fill_flac_streaminfo(uint8_t* p, int64_t frames, int channels,
+                          int sample_rate, int bps) {
+  const uint32_t kBlock = kFlacEncBlock;
   uint32_t last_block = (uint32_t)(frames % kBlock);
   uint32_t min_block = frames > kBlock ? kBlock : (last_block ? last_block : kBlock);
-  uint8_t* p = si + 8;
   p[0] = (uint8_t)(min_block >> 8); p[1] = (uint8_t)min_block;
   p[2] = (uint8_t)(kBlock >> 8); p[3] = (uint8_t)kBlock;
   // min/max frame size unknown (0)
@@ -822,16 +821,20 @@ bool encode_flac(FILE* f, const float* data, int64_t frames, int channels,
   p[13] = (uint8_t)((((bps - 1) & 0xF) << 4) | ((frames >> 32) & 0xF));
   p[14] = (uint8_t)(frames >> 24); p[15] = (uint8_t)(frames >> 16);
   p[16] = (uint8_t)(frames >> 8); p[17] = (uint8_t)frames;
-  if (fwrite(si, 1, sizeof(si), f) != sizeof(si)) return false;
+}
 
+// One FLAC frame from an interleaved float block.  Shared by the whole-file
+// encoder and the streaming writer, so both paths stay byte-identical.
+bool encode_flac_block(FILE* f, const float* data, uint32_t bs, int channels,
+                       int bps, uint64_t frame_no) {
+  const double scale = (double)(1u << (bps - 1));
+  const int64_t lim = (1ll << (bps - 1)) - 1;
   std::vector<std::vector<int64_t>> chan(channels);
-  uint64_t frame_no = 0;
-  for (int64_t pos = 0; pos < frames; pos += kBlock, ++frame_no) {
-    uint32_t bs = (uint32_t)((frames - pos) < kBlock ? (frames - pos) : kBlock);
+  {
     for (int c = 0; c < channels; ++c) {
       chan[c].resize(bs);
       for (uint32_t i = 0; i < bs; ++i) {
-        double v = data[(size_t)(pos + i) * channels + c] * scale;
+        double v = data[(size_t)i * channels + c] * scale;
         int64_t q = (int64_t)(v >= 0 ? v + 0.5 : v - 0.5);
         chan[c][i] = q > lim ? lim : (q < -lim - 1 ? -lim - 1 : q);
       }
@@ -884,6 +887,87 @@ bool encode_flac(FILE* f, const float* data, int64_t frames, int channels,
       return false;
   }
   return true;
+}
+
+bool encode_flac(FILE* f, const float* data, int64_t frames, int channels,
+                 int sample_rate, int bps) {
+  const uint32_t kBlock = kFlacEncBlock;
+  // fLaC + STREAMINFO (md5 zero = unknown, permitted)
+  uint8_t si[4 + 4 + 34] = {'f', 'L', 'a', 'C', 0x80, 0, 0, 34};
+  fill_flac_streaminfo(si + 8, frames, channels, sample_rate, bps);
+  if (fwrite(si, 1, sizeof(si), f) != sizeof(si)) return false;
+
+  uint64_t frame_no = 0;
+  for (int64_t pos = 0; pos < frames; pos += kBlock, ++frame_no) {
+    uint32_t bs = (uint32_t)((frames - pos) < kBlock ? (frames - pos) : kBlock);
+    if (!encode_flac_block(f, data + (size_t)pos * channels, bs, channels,
+                           bps, frame_no))
+      return false;
+  }
+  return true;
+}
+
+// Incremental FLAC writer: header first (frame count patched on close), then
+// every ``write`` drains whole 4096-sample frames and carries the remainder,
+// so peak memory is one block no matter how long the export runs.  The
+// output half of the larger-than-memory path for the archive format, pairing
+// with the streaming reader above (reference writes only whole WAVs,
+// io_ops.py:19-23).
+struct FlacStreamWriter {
+  FILE* f = nullptr;
+  int channels = 0, sample_rate = 0, bps = 0;
+  uint64_t frame_no = 0;
+  int64_t total = 0;            // frames written (incl. carry)
+  std::vector<float> carry;     // < kFlacEncBlock frames, interleaved
+  bool failed = false;
+};
+
+bool flac_stream_write(FlacStreamWriter& w, const float* data, int64_t frames) {
+  if (w.failed || frames < 0) return false;
+  w.total += frames;
+  const size_t block_vals = (size_t)kFlacEncBlock * w.channels;
+  // top up the carry to a whole block first
+  if (!w.carry.empty()) {
+    size_t need = block_vals - w.carry.size();
+    size_t take = (size_t)frames * w.channels;
+    if (take > need) take = need;
+    w.carry.insert(w.carry.end(), data, data + take);
+    data += take;
+    frames -= (int64_t)(take / w.channels);
+    if (w.carry.size() < block_vals) return true;
+    if (!encode_flac_block(w.f, w.carry.data(), kFlacEncBlock, w.channels,
+                           w.bps, w.frame_no++))
+      return (w.failed = true, false);
+    w.carry.clear();
+  }
+  while (frames >= (int64_t)kFlacEncBlock) {
+    if (!encode_flac_block(w.f, data, kFlacEncBlock, w.channels, w.bps,
+                           w.frame_no++))
+      return (w.failed = true, false);
+    data += block_vals;
+    frames -= kFlacEncBlock;
+  }
+  if (frames > 0)
+    w.carry.assign(data, data + (size_t)frames * w.channels);
+  return true;
+}
+
+bool flac_stream_finish(FlacStreamWriter& w) {
+  if (w.failed) return false;
+  if (!w.carry.empty()) {
+    uint32_t bs = (uint32_t)(w.carry.size() / w.channels);
+    if (!encode_flac_block(w.f, w.carry.data(), bs, w.channels, w.bps,
+                           w.frame_no++))
+      return false;
+    w.carry.clear();
+  }
+  // patch STREAMINFO now the frame count is known (offset 8 = metadata data);
+  // zero-init keeps the min/max-frame-size fields (bytes 4-9) at "unknown"
+  uint8_t p[18] = {0};
+  fill_flac_streaminfo(p, w.total, w.channels, w.sample_rate, w.bps);
+  if (fseeko(w.f, 8, SEEK_SET) != 0) return false;
+  if (fwrite(p, 1, sizeof(p), w.f) != sizeof(p)) return false;
+  return fflush(w.f) == 0;
 }
 
 void wr_u32(FILE* f, uint32_t v) {
@@ -1291,6 +1375,45 @@ int audioio_write_flac(const char* path, const float* data, long long frames,
                         bits_per_sample);
   fclose(f);
   if (!ok) remove(path);
+  return ok ? 0 : -1;
+}
+
+// Opens an incremental FLAC writer (frame count patched on close).
+void* audioio_flac_wopen(const char* path, int channels, int sample_rate,
+                         int bits_per_sample) {
+  if (bits_per_sample != 16 && bits_per_sample != 24) return nullptr;
+  if (channels < 1 || channels > 8 || sample_rate <= 0) return nullptr;
+  FILE* f = fopen(path, "wb+");
+  if (!f) return nullptr;
+  uint8_t si[4 + 4 + 34] = {'f', 'L', 'a', 'C', 0x80, 0, 0, 34};
+  fill_flac_streaminfo(si + 8, 0, channels, sample_rate, bits_per_sample);
+  if (fwrite(si, 1, sizeof(si), f) != sizeof(si)) {
+    fclose(f);
+    remove(path);
+    return nullptr;
+  }
+  FlacStreamWriter* w = new FlacStreamWriter;
+  w->f = f;
+  w->channels = channels;
+  w->sample_rate = sample_rate;
+  w->bps = bits_per_sample;
+  return w;
+}
+
+// Appends interleaved float frames.  Returns 0 on success.
+int audioio_flac_wwrite(void* h, const float* data, long long frames) {
+  FlacStreamWriter* w = (FlacStreamWriter*)h;
+  return flac_stream_write(*w, data, frames) ? 0 : -1;
+}
+
+// Flushes the carry block, patches STREAMINFO, closes and frees.  Returns 0
+// on success (the file is removed on failure so a broken stream never looks
+// like a finished archive).
+int audioio_flac_wclose(void* h) {
+  FlacStreamWriter* w = (FlacStreamWriter*)h;
+  bool ok = flac_stream_finish(*w);
+  fclose(w->f);
+  delete w;
   return ok ? 0 : -1;
 }
 

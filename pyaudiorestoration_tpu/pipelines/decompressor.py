@@ -179,11 +179,11 @@ def decompress_file(src_path, ref_path, stream="auto",
                           kwargs.get("do_sync", False))
             for c in range(C)])
         base, _ = os.path.splitext(src_path)
-        out_path = f"{base}_decompressed.wav"
+        out_path = f"{base}_decompressed.{audio_io.out_ext()}"
         blk = 1 << 22
         grid = np.arange(0, n, hop, dtype=np.float64)[: facs.shape[1]]
         with audio_io.StreamReader(src_path) as r, \
-                audio_io.StreamWriter(out_path, sr, C) as w:
+                audio_io.open_writer(out_path, sr, C) as w:
             for s0 in range(0, n, blk):
                 s1 = min(n, s0 + blk)
                 buf = r.read(s0, s1 - s0)

@@ -239,7 +239,7 @@ def _heal_file_streamed(file_path, dropouts, fft_size, fft_overlap, channels,
         return jnp.asarray(np.power(10.0, gain / 20.0))
 
     base, _ = os.path.splitext(file_path)
-    out_path = f"{base}_drops{suffix}.wav"
+    out_path = f"{base}_drops{suffix}.{audio_io.out_ext()}"
     return streaming.stream_masked_stft(file_path, out_path, make_fac,
                                         fft_size, hop, chans)
 
@@ -352,9 +352,9 @@ def process_heuristic_streamed(file_path, fft_size=1024, fft_overlap=4,
         halo = int(halo_seconds * sr)
         x_old = np.linspace(0.0, 1.0, T)
         base, _ = os.path.splitext(file_path)
-        out_path = f"{base}{suffix or '_out'}.wav"
+        out_path = f"{base}{suffix or '_out'}.{audio_io.out_ext()}"
         blk = block_frames * hop
-        with audio_io.StreamWriter(out_path, sr, C) as w:
+        with audio_io.open_writer(out_path, sr, C) as w:
             for s0 in range(0, n, blk):
                 s1 = min(n, s0 + blk)
                 lo = max(0, s0 - halo)
@@ -469,7 +469,8 @@ def process_max_mono(file_path, fft_size=1024, fft_overlap=4, stream="auto",
                     jnp.stack([mask_min, 1.0 - mask_min])]
 
         base, _ = os.path.splitext(file_path)
-        outs = [f"{base}max.wav", f"{base}min.wav"]
+        ext = audio_io.out_ext()
+        outs = [f"{base}max.{ext}", f"{base}min.{ext}"]
         with audio_io.StreamReader(file_path) as r:
             if r.channels != 2:
                 raise ValueError("expects stereo input")

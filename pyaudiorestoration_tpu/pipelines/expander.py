@@ -139,7 +139,9 @@ def _expand_file_streamed(file_src, channel_mode, fft_size, band_lower,
 
         # ---- pass 2: blockwise gain (+ split filters), peak tracked
         base, _ = os.path.splitext(file_src)
-        out_path = f"{base}{suffix}.wav"
+        out_path = f"{base}{suffix}.{audio_io.out_ext()}"
+        # the unnormalized intermediate stays float32 WAV (it is re-read and
+        # scaled in pass 3; quantizing it would double the rounding)
         tmp_path = out_path + ".unnorm.tmp"
         halo = int(halo_seconds * sr)
         blk = block_frames * fft_hop
@@ -175,7 +177,7 @@ def _expand_file_streamed(file_src, channel_mode, fft_size, band_lower,
         # ---- pass 3: normalize while copying into place
         scale = 1.0 / peak if peak > 0 else 1.0
         with audio_io.StreamReader(tmp_path) as rt, \
-                audio_io.StreamWriter(out_path, sr, num_channels) as w:
+                audio_io.open_writer(out_path, sr, num_channels) as w:
             nt_ = int(rt.frames)
             for s0 in range(0, nt_, blk):
                 s1 = min(nt_, s0 + blk)

@@ -82,9 +82,10 @@ def _separate_file_streamed(file_path, fft_size, fft_overlap, kernel_size,
         return facs
 
     base, _ = os.path.splitext(file_path)
-    out_paths = [f"{base}_H.wav", f"{base}_P.wav"]
+    ext = audio_io.out_ext()
+    out_paths = [f"{base}_H.{ext}", f"{base}_P.{ext}"]
     if margin > 1.0:
-        out_paths.append(f"{base}_R.wav")
+        out_paths.append(f"{base}_R.{ext}")
     return streaming.stream_masked_stft(
         file_path, out_paths, make_fac, fft_size, hop, chans,
         mask_halo_frames=kernel_size // 2 + 1)

@@ -67,9 +67,9 @@ def pan_file(file_path, pan_samples, hop=256, stream="auto",
             line = mk.PanLine(sr, hop, n / sr)
             data = line.update(list(pan_samples))
             base, _ = os.path.splitext(file_path)
-            out_path = f"{base}_out.wav"
+            out_path = f"{base}_out.{audio_io.out_ext()}"
             blk = 1 << 22
-            with audio_io.StreamWriter(out_path, sr, 1) as w:
+            with audio_io.open_writer(out_path, sr, 1) as w:
                 for s0 in range(0, n, blk):
                     s1 = min(n, s0 + blk)
                     buf = r.read(s0, s1 - s0)

@@ -215,7 +215,7 @@ def process_file(file_path, noise_path=None, selection=None, control_curve=(),
 
         sfx = suffix if suffix is not None else f" fft={fft_size}"
         base, _ = os.path.splitext(file_path)
-        out_path = f"{base}{sfx}.wav"
+        out_path = f"{base}{sfx}.{audio_io.out_ext()}"
         return streaming.stream_masked_stft(file_path, out_path, make_fac,
                                             fft_size, hop, chans)
     signal, sr, num_channels = audio_io.read_file(file_path)

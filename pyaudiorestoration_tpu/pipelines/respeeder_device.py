@@ -877,7 +877,7 @@ def restore_file_streamed(audio_path, f0_hz=None, tolerance_st: float = 1.0,
         max_n = int(plan["max_n"])
         T = len(plan["n"])
         speeds32 = speeds.astype(np.float32)
-        out_path = out_base + ".wav"
+        out_path = out_base + "." + audio_io.out_ext()
 
         # ---- pass 2: tile the segment axis, re-read input windows, append.
         # The read span is padded to a FIXED length so the device kernel
@@ -888,7 +888,7 @@ def restore_file_streamed(audio_path, f0_hz=None, tolerance_st: float = 1.0,
             int(bi_all[min(T, a + seg_tile) - 1]) - int(bi_all[a])
             for a in range(0, T, seg_tile)) + max_n + 2 * U + 2
         written = 0
-        with audio_io.StreamWriter(out_path, sr, len(channels)) as writer:
+        with audio_io.open_writer(out_path, sr, len(channels)) as writer:
             for a in range(0, T, seg_tile):
                 b = min(T, a + seg_tile)
                 nseg = b - a

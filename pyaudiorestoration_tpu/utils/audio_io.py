@@ -86,6 +86,14 @@ def _get_lib():
         lib.audioio_write_flac.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
             ctypes.c_longlong, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.audioio_flac_wopen.restype = ctypes.c_void_p
+        lib.audioio_flac_wopen.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.audioio_flac_wwrite.restype = ctypes.c_int
+        lib.audioio_flac_wwrite.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_longlong]
+        lib.audioio_flac_wclose.restype = ctypes.c_int
+        lib.audioio_flac_wclose.argtypes = [ctypes.c_void_p]
         lib.audioio_probe.restype = ctypes.c_int
         lib.audioio_probe.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
@@ -252,6 +260,77 @@ class StreamWriter:
         self.close()
 
 
+class FlacStreamWriter:
+    """Incremental FLAC writer (native encoder; STREAMINFO patched on close).
+
+    The archive-format counterpart of :class:`StreamWriter`: restored blocks
+    append as they leave the device and are encoded frame-by-frame (4096
+    samples, carry-buffered), so a multi-hour export writes compressed FLAC
+    with one block of peak memory.  The reference can only write WAV
+    (io_ops.py:19-23).  Same ``write(block)/close()`` contract as
+    StreamWriter; quantizes to ``bits`` (16 or 24).
+    """
+
+    def __init__(self, path, sr, channels, bits=24):
+        lib = _get_lib()
+        if lib is None:
+            raise OSError("native audioio unavailable (FLAC needs it)")
+        self._lib = lib
+        self.path = path
+        self.sr = int(sr)
+        self.channels = int(channels)
+        self.bits = int(bits)
+        self.frames = 0
+        self._h = lib.audioio_flac_wopen(os.fsencode(path), self.channels,
+                                         self.sr, self.bits)
+        if not self._h:
+            raise OSError(f"Cannot open FLAC writer for {path}")
+
+    def write(self, block):
+        block = np.ascontiguousarray(np.asarray(block, dtype=np.float32))
+        if block.ndim == 1:
+            block = block[:, None]
+        assert block.shape[1] == self.channels
+        rc = self._lib.audioio_flac_wwrite(
+            self._h, block.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            block.shape[0])
+        if rc != 0:
+            raise OSError(f"FLAC stream write failed for {self.path}")
+        self.frames += block.shape[0]
+
+    def close(self):
+        if self._h is None:
+            return
+        rc = self._lib.audioio_flac_wclose(self._h)
+        self._h = None
+        if rc != 0:
+            try:
+                os.remove(self.path)
+            finally:
+                raise OSError(f"FLAC stream finalize failed for {self.path}")
+        logging.info(f"Wrote {self.path} ({self.frames} frames, streamed FLAC)")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def open_writer(path, sr, channels, bits=24):
+    """Streaming writer for ``path`` chosen by extension: ``.flac`` gets the
+    native incremental FLAC encoder, anything else float32 WAV/RF64."""
+    if str(path).lower().endswith(".flac"):
+        return FlacStreamWriter(path, sr, channels, bits=bits)
+    return StreamWriter(path, sr, channels)
+
+
 def read_file(audio_path):
     """Read an audio file (WAV or FLAC).
 
@@ -335,12 +414,42 @@ def write_wav(path, signal, sr, subtype="FLOAT"):
                   (np.clip(signal, -1, 1) * 32767).astype(np.int16))
 
 
-def write_file(audio_path, signal, sr, channels=None, suffix="_out"):
-    """Write ``signal`` to ``<audio_path without ext><suffix>.wav`` (float32).
+# process-wide export format: every tool's write_file call honours it, so
+# one CLI flag (--flac-out) switches the whole pipeline's outputs to the
+# archive format without threading a parameter through nine tools
+_OUT_FORMAT = "wav"
+_OUT_FLAC_BITS = 24
 
-    Mirrors io_ops.write_file (io_ops.py:19-23); returns the output path.
+
+def set_output_format(fmt, bits=24):
+    """Select the export container for write_file: "wav" (float32, default)
+    or "flac" (native encoder, quantized to ``bits`` — 16 or 24)."""
+    global _OUT_FORMAT, _OUT_FLAC_BITS
+    if fmt not in ("wav", "flac"):
+        raise ValueError(f"unknown output format {fmt!r}")
+    if fmt == "flac" and bits not in (16, 24):
+        raise ValueError("FLAC output must be 16 or 24 bit")
+    _OUT_FORMAT = fmt
+    _OUT_FLAC_BITS = int(bits)
+
+
+def out_ext():
+    """Current export extension ("wav" or "flac") — pipelines that build
+    output paths by hand use this so streamed exports honour the format."""
+    return _OUT_FORMAT
+
+
+def write_file(audio_path, signal, sr, channels=None, suffix="_out"):
+    """Write ``signal`` to ``<audio_path without ext><suffix>.<ext>``.
+
+    Mirrors io_ops.write_file (io_ops.py:19-23) but honours
+    :func:`set_output_format` (the reference writes float32 WAV only);
+    returns the output path.
     """
-    out_path = f"{os.path.splitext(audio_path)[0]}{suffix}.wav"
-    write_wav(out_path, signal, sr)
+    out_path = f"{os.path.splitext(audio_path)[0]}{suffix}.{_OUT_FORMAT}"
+    if _OUT_FORMAT == "flac":
+        write_flac(out_path, signal, sr, _OUT_FLAC_BITS)
+    else:
+        write_wav(out_path, signal, sr)
     logging.info(f"Wrote {out_path}")
     return out_path

@@ -113,7 +113,7 @@ def stream_masked_stft(in_path, out_path, make_fac, fft_size: int, hop: int,
         out_ch = 1 if mix_down else len(chans)
         with contextlib.ExitStack() as stack:
             writers = [stack.enter_context(
-                audio_io.StreamWriter(p, sr, out_ch)) for p in out_paths]
+                audio_io.open_writer(p, sr, out_ch)) for p in out_paths]
             # fixed per-block frame counts: the tail block READS the same
             # span shape (virtual_read reflects past the end) and pads its
             # masked spec with zero frames, so every device call in the loop

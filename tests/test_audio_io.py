@@ -259,3 +259,75 @@ def test_flac_encoder_mid_side_stereo(tmp_path):
     q = np.clip(np.trunc(np.abs(x.astype(np.float64)) * scale + 0.5)
                 * np.sign(x), -32768, lim) / scale
     np.testing.assert_array_equal(back.astype(np.float64), q)
+
+
+def test_flac_stream_writer_matches_oneshot(tmp_path, rng):
+    """The incremental FLAC writer produces BYTE-identical output to the
+    whole-file encoder (shared block encoder + STREAMINFO patched on close),
+    regardless of how the frames arrive (odd block sizes, carry buffering)."""
+    sr = 22050
+    sig = (0.3 * np.sin(2 * np.pi * 1000 * np.arange(20000) / sr)
+           + 0.01 * rng.standard_normal(20000))
+    x = np.stack([sig, -0.7 * sig], -1).astype(np.float32)
+    p_one = str(tmp_path / "one.flac")
+    audio_io.write_flac(p_one, x, sr, bits_per_sample=16)
+    p_str = str(tmp_path / "streamed.flac")
+    with audio_io.FlacStreamWriter(p_str, sr, 2, bits=16) as w:
+        cuts = [0, 1, 4097, 4098, 10000, 16384, 20000]
+        for a, b in zip(cuts[:-1], cuts[1:]):
+            w.write(x[a:b])
+    with open(p_one, "rb") as f1, open(p_str, "rb") as f2:
+        assert f1.read() == f2.read()
+    back, sr2, ch2 = audio_io.read_file(p_str)
+    assert (sr2, ch2) == (sr, 2)
+    assert back.shape == x.shape
+
+
+def test_flac_stream_writer_streams_back(tmp_path, rng):
+    """A streamed-out FLAC streams back in through the indexed reader with
+    exact quantized values (close patches the frame count the reader needs)."""
+    sr = 8000
+    x = (0.2 * rng.standard_normal((30000, 1))).astype(np.float32)
+    p = str(tmp_path / "s.flac")
+    with audio_io.FlacStreamWriter(p, sr, 1, bits=24) as w:
+        for s0 in range(0, len(x), 7001):
+            w.write(x[s0:s0 + 7001])
+    full, sr2, _ = audio_io.read_file(p)
+    assert len(full) == len(x)
+    with audio_io.StreamReader(p) as r:
+        assert r.frames == len(x)
+        np.testing.assert_array_equal(r.read(12345, 4096), full[12345:12345 + 4096])
+    scale = float(1 << 23)
+    np.testing.assert_allclose(full, x, atol=1.0 / scale)
+
+
+def test_open_writer_extension_routing(tmp_path, rng):
+    """open_writer picks the encoder by extension; both results read back."""
+    sr = 8000
+    x = (0.1 * rng.standard_normal((5000, 2))).astype(np.float32)
+    for name, cls in (("a.wav", audio_io.StreamWriter),
+                      ("a.FLAC", audio_io.FlacStreamWriter)):
+        p = str(tmp_path / name)
+        with audio_io.open_writer(p, sr, 2) as w:
+            assert isinstance(w, cls)
+            w.write(x)
+        back, sr2, ch = audio_io.read_file(p)
+        assert (sr2, ch, len(back)) == (sr, 2, len(x))
+
+
+def test_write_file_output_format(tmp_path, rng):
+    """set_output_format('flac') reroutes write_file (and out_ext) to the
+    archive format; resetting restores float32 WAV."""
+    sig = (0.1 * rng.standard_normal(3000)).astype(np.float32)
+    src = str(tmp_path / "in.wav")
+    audio_io.write_wav(src, sig, 8000)
+    try:
+        audio_io.set_output_format("flac", bits=16)
+        assert audio_io.out_ext() == "flac"
+        out = audio_io.write_file(src, sig, 8000)
+        assert out.endswith("_out.flac")
+        back, sr2, _ = audio_io.read_file(out)
+        np.testing.assert_allclose(back[:, 0], sig, atol=1.0 / 32768)
+    finally:
+        audio_io.set_output_format("wav")
+    assert audio_io.write_file(src, sig, 8000, suffix="_w").endswith("_w.wav")

@@ -395,3 +395,24 @@ def test_spd_project_streamed_replay(tmp_path):
     f_in = metrics.flutter(sig, sr)
     assert metrics.flutter(a, sr) < f_in / 5
     assert metrics.flutter(b, sr) < f_in / 5
+
+
+def test_streamed_export_honours_flac_output(tmp_path):
+    """With the FLAC output format set, a streamed spectral tool writes its
+    larger-than-memory output through the incremental native FLAC encoder —
+    and the file round-trips within the quantization step of the bit depth."""
+    n = int(1.9 * SR)
+    x = _noisy_tone(n, seed=11)
+    p_wav, p_flac = _pair(tmp_path, x)
+    drops = [mk.DropoutSample((0.6, 200.0), (0.65, 8000.0), 0.5)]
+    out_wav = dropouts.heal_file(p_wav, drops, 512, 16, stream=True)
+    try:
+        audio_io.set_output_format("flac", bits=24)
+        out_flac = dropouts.heal_file(p_flac, drops, 512, 16, stream=True)
+    finally:
+        audio_io.set_output_format("wav")
+    assert out_flac.endswith(".flac")
+    a, sra, _ = audio_io.read_file(out_wav)
+    b, srb, _ = audio_io.read_file(out_flac)
+    assert sra == srb and a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=1.5 / (1 << 23))
