@@ -117,7 +117,11 @@ def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=128,
         # the used region [:max_n] never touches the circular wrap.  (A
         # narrower per-128-pass-group sub-slice roll was measured SLOWER —
         # 117.9 vs 114.3 ms on the 4-min take — and 9x slower to compile:
-        # Mosaic materializes the sliced operand per pass.)
+        # Mosaic materializes the sliced operand per pass.  An incremental
+        # roll-by-1 of a CARRIED buffer was also slower — 65.2 vs 52.4 ms on
+        # the 1-min/192k micro-bench: the carry serializes the rolls into the
+        # MAC dependency chain, while independent roll-by-v from the original
+        # buffer schedules ahead.)
         seg = (buf if v == 0 else pltpu.roll(buf, L - v, axis=1))[:, :max_n]
         acc = acc + seg * w
         s, c = s * cf + c * sf, c * cf - s * sf

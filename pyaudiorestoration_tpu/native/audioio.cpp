@@ -965,7 +965,7 @@ bool flac_stream_finish(FlacStreamWriter& w) {
   // zero-init keeps the min/max-frame-size fields (bytes 4-9) at "unknown"
   uint8_t p[18] = {0};
   fill_flac_streaminfo(p, w.total, w.channels, w.sample_rate, w.bps);
-  if (fseeko(w.f, 8, SEEK_SET) != 0) return false;
+  if (FSEEK64(w.f, 8, SEEK_SET) != 0) return false;
   if (fwrite(p, 1, sizeof(p), w.f) != sizeof(p)) return false;
   return fflush(w.f) == 0;
 }
