@@ -32,40 +32,59 @@ namespace {
 // ---------------------------------------------------------------------------
 // Bit reader over an in-memory buffer (MSB-first, as FLAC requires).
 // ---------------------------------------------------------------------------
+// MSB-first bit reader with a 64-bit cache: the rice residual loop (unary +
+// k-bit reads per sample, unaligned almost always) is the decoder's hot path,
+// so unary counts come from one clz on the cache and k-bit reads from one
+// shift — not per-bit loops.  The cache's valid bits live in the TOP ncache
+// bits; everything below is zero, so any set bit is inside the valid region.
 struct BitReader {
   const uint8_t* data;
   size_t size;
-  size_t byte_pos = 0;
-  int bit_pos = 0;  // 0..7, bit index from MSB
+  size_t byte_pos = 0;   // next byte to LOAD into the cache (runs ahead)
+  uint64_t cache = 0;    // next stream bit = bit 63
+  int ncache = 0;        // valid bits in cache
   bool error = false;
 
   BitReader(const uint8_t* d, size_t n) : data(d), size(n) {}
 
-  bool eof() const { return byte_pos >= size; }
-
-  uint32_t read_bit() {
-    if (byte_pos >= size) {
-      error = true;
-      return 0;
+  void refill() {
+    while (ncache <= 56 && byte_pos < size) {
+      cache |= (uint64_t)data[byte_pos++] << (56 - ncache);
+      ncache += 8;
     }
-    uint32_t bit = (data[byte_pos] >> (7 - bit_pos)) & 1u;
-    if (++bit_pos == 8) {
-      bit_pos = 0;
-      ++byte_pos;
-    }
-    return bit;
   }
+
+  // logical byte offset of the next unread bit (exact at byte-aligned
+  // points, which is where the frame indexer samples it)
+  size_t tell_byte() const { return byte_pos - (size_t)(ncache >> 3); }
+
+  void seek_byte(size_t pos) {
+    byte_pos = pos;
+    cache = 0;
+    ncache = 0;
+  }
+
+  bool eof() const { return tell_byte() >= size; }
 
   uint64_t read_bits(int n) {
-    uint64_t v = 0;
-    // Fast path for byte-aligned multi-byte reads.
-    while (n >= 8 && bit_pos == 0 && byte_pos < size) {
-      v = (v << 8) | data[byte_pos++];
-      n -= 8;
+    if (n <= 0) return 0;
+    if (ncache < n) {
+      refill();
+      if (ncache < n) {  // ran off the buffer: zero-pad and flag
+        error = true;
+        uint64_t v = cache >> (64 - n);
+        cache = 0;
+        ncache = 0;
+        return v;
+      }
     }
-    for (int i = 0; i < n; ++i) v = (v << 1) | read_bit();
+    uint64_t v = cache >> (64 - n);
+    cache <<= n;
+    ncache -= n;
     return v;
   }
+
+  uint32_t read_bit() { return (uint32_t)read_bits(1); }
 
   int64_t read_signed(int n) {
     uint64_t v = read_bits(n);
@@ -76,30 +95,28 @@ struct BitReader {
 
   uint32_t read_unary() {
     uint32_t q = 0;
-    // Consume zero bits until a one bit.
-    while (!error) {
-      if (bit_pos == 0) {
-        // whole-byte skip of zero bytes
-        while (byte_pos < size && data[byte_pos] == 0) {
-          q += 8;
-          ++byte_pos;
-        }
+    for (;;) {
+      if (cache != 0) {  // a set bit is always within the valid top bits
+        int z = __builtin_clzll(cache);
+        q += (uint32_t)z;
+        // z can be 63 (lone bit at the bottom): << 64 is UB, so split the shift
+        cache = (cache << z) << 1;
+        ncache -= z + 1;
+        return q;
       }
-      if (byte_pos >= size) {
+      q += (uint32_t)ncache;  // all-valid-zeros: consume the whole cache
+      ncache = 0;
+      refill();
+      if (ncache == 0) {
         error = true;
         return q;
       }
-      if (read_bit()) return q;
-      ++q;
     }
-    return q;
   }
 
   void align_byte() {
-    if (bit_pos) {
-      bit_pos = 0;
-      ++byte_pos;
-    }
+    int rem = (int)((byte_pos * 8 - (size_t)ncache) & 7);
+    if (rem) read_bits(8 - rem);
   }
 };
 
@@ -317,7 +334,7 @@ bool parse_flac_header(const uint8_t* buf, size_t n, FlacStreamInfo& info,
 int decode_flac_frame(BitReader& br, const FlacStreamInfo& info,
                       std::vector<std::vector<int64_t>>& chan,
                       uint32_t& block_size) {
-  if (br.byte_pos + 2 >= br.size || br.error) return 0;
+  if (br.tell_byte() + 2 >= br.size || br.error) return 0;
   uint32_t sync = (uint32_t)br.read_bits(14);
   if (br.error) return 0;
   if (sync != 0x3FFE) return 0;  // trailing junk tolerated
@@ -404,7 +421,7 @@ bool decode_flac(const uint8_t* buf, size_t n, AudioData& out) {
     out.samples.reserve((size_t)info.total_samples * info.channels);
 
   BitReader br(buf, n);
-  br.byte_pos = pos;
+  br.seek_byte(pos);
   const double scale = 1.0 / (double)(1u << (info.bits_per_sample - 1));
   std::vector<std::vector<int64_t>> chan(info.channels);
 
@@ -550,20 +567,39 @@ bool decode_any(const char* path, AudioData& out) {
 // predictor (order 0-4 by residual cost), rice method 0 with one partition,
 // independent channels, proper CRC-8/CRC-16.  Decodable by any FLAC reader.
 // ---------------------------------------------------------------------------
+// MSB-first bit writer with a 64-bit accumulator (bits live in the TOP nbits
+// of acc; whole bytes drain eagerly so nbits stays < 8 between calls and the
+// byte vector is always current at aligned points, where the frame CRCs are
+// computed).  The rice residual loop writes unary + k bits per sample, so
+// per-bit pushes were the encoder's hot path.
 struct BitWriter {
   std::vector<uint8_t> bytes;
-  uint32_t acc = 0;
-  int nbits = 0;
+  uint64_t acc = 0;
+  int nbits = 0;  // < 8 between calls
+
+  void drain() {
+    while (nbits >= 8) {
+      bytes.push_back((uint8_t)(acc >> 56));
+      acc <<= 8;
+      nbits -= 8;
+    }
+  }
 
   void put_bits(uint64_t v, int n) {
-    for (int i = n - 1; i >= 0; --i) {
-      acc = (acc << 1) | (uint32_t)((v >> i) & 1u);
-      if (++nbits == 8) {
-        bytes.push_back((uint8_t)acc);
-        acc = 0;
-        nbits = 0;
-      }
+    if (n <= 0) return;
+    if (n < 64) v &= (~0ULL >> (64 - n));
+    if (n <= 56) {  // always fits: nbits < 8 here
+      acc |= v << (64 - nbits - n);
+      nbits += n;
+    } else {
+      int hi = n - 32;
+      acc |= (v >> 32) << (64 - nbits - hi);
+      nbits += hi;
+      drain();
+      acc |= (v & 0xFFFFFFFFull) << (64 - nbits - 32);
+      nbits += 32;
     }
+    drain();
   }
 
   void put_unary(uint32_t q) {
@@ -688,21 +724,29 @@ void write_flac_subframe(BitWriter& bw, const int64_t* x, uint32_t n, int bps) {
     bw.put_bits((uint64_t)x[0] & ((bps < 64 ? (1ull << bps) : 0ull) - 1ull), bps);
     return;
   }
-  // pick the fixed order with the smallest total |residual|
-  std::vector<int64_t> res(n), best(n);
+  // pick the fixed order with the smallest total |residual| — one in-place
+  // progressive-differencing sweep with integer cost sums (|residuals| are
+  // ints, so uint64 sums equal the exact mathematical costs; a 4096-sample
+  // block of 33-bit residuals tops out near 2^45)
+  std::vector<int64_t> best(n);
   int best_order = 0;
   long double best_cost = -1;
-  for (int order = 0; order <= 4 && (uint32_t)order < n; ++order) {
-    fixed_residual(x, n, order, res.data());
-    long double cost = 0;
-    for (uint32_t i = (uint32_t)order; i < n; ++i)
-      cost += res[i] < 0 ? -(long double)res[i] : (long double)res[i];
-    if (best_cost < 0 || cost < best_cost) {
-      best_cost = cost;
-      best_order = order;
-      best = res;
+  {
+    std::vector<int64_t> d(x, x + n);
+    for (int order = 0; order <= 4 && (uint32_t)order < n; ++order) {
+      if (order) {
+        for (uint32_t i = n - 1; i >= (uint32_t)order; --i) d[i] -= d[i - 1];
+      }
+      uint64_t cost = 0;
+      for (uint32_t i = (uint32_t)order; i < n; ++i)
+        cost += d[i] < 0 ? (uint64_t)(-d[i]) : (uint64_t)d[i];
+      if (best_cost < 0 || (long double)cost < best_cost) {
+        best_cost = (long double)cost;
+        best_order = order;
+      }
     }
   }
+  fixed_residual(x, n, best_order, best.data());
   // LPC candidate (order 8, precision 14): quantize coefficients with the
   // decoder's exact integer prediction (pred >> shift) and keep it when its
   // residual beats the best fixed predictor's
@@ -730,14 +774,15 @@ void write_flac_subframe(BitWriter& bw, const int64_t* x, uint32_t n, int bps) {
             qcoef[j] = q < cmin_q ? cmin_q : (q > cmax_q ? cmax_q : q);
           }
           std::vector<int64_t> lres(n);
-          long double lcost = 0;
+          uint64_t lcost_u = 0;
           for (uint32_t i = kLpcOrder; i < n; ++i) {
             int64_t pred = 0;
             for (int j = 0; j < kLpcOrder; ++j)
               pred += qcoef[j] * x[i - 1 - j];
             lres[i] = x[i] - (pred >> lpc_shift);
-            lcost += lres[i] < 0 ? -(long double)lres[i] : (long double)lres[i];
+            lcost_u += lres[i] < 0 ? (uint64_t)(-lres[i]) : (uint64_t)lres[i];
           }
+          long double lcost = (long double)lcost_u;
           // compare at equal footing: cost per coded sample plus the
           // coefficient overhead (~order * precision bits)
           if (lcost + (long double)kLpcOrder * kPrec / 8.0 < best_cost) {
@@ -1093,10 +1138,10 @@ bool open_flac_stream(const char* path, StreamReader& s) {
     sample = total_from_cache;
   } else {
     BitReader br(s.flac_data, s.flac_size);
-    br.byte_pos = pos;
+    br.seek_byte(pos);
     std::vector<std::vector<int64_t>> chan(s.flac_info.channels);
     for (;;) {
-      size_t frame_off = br.byte_pos;
+      size_t frame_off = br.tell_byte();
       uint32_t block_size = 0;
       int rc = decode_flac_frame(br, s.flac_info, chan, block_size);
       if (rc == 0) break;
@@ -1150,7 +1195,7 @@ int flac_stream_read(StreamReader& s, int64_t start, int64_t count, float* out) 
       hi = mid;
   }
   BitReader br(s.flac_data, s.flac_size);
-  br.byte_pos = s.flac_index[lo].offset;
+  br.seek_byte(s.flac_index[lo].offset);
   int64_t sample = s.flac_index[lo].sample;
   std::vector<std::vector<int64_t>> chan(s.flac_info.channels);
   int64_t end = start + count;
