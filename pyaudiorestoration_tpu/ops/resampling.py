@@ -281,7 +281,8 @@ def resample_ratio(signal, sr_from, sr_to, quality: int = 16, axis: int = 0):
 def run(filenames, signal_data=None, speed_curve=None, resampling_mode="Linear",
         sinc_quality=50, use_channels=(), prog_sig=None, lag_curve=None, suffix=""):
     """Batch resample driver mirroring the reference's ``run`` contract
-    (resampling.py:162-240): writes ``<name>_res<suffix>.wav`` per input.
+    (resampling.py:162-240): writes ``<name>_res<suffix>.<ext>`` per input
+    (extension from :func:`audio_io.set_output_format`, default wav).
     Returns the list of output paths.
     """
     def progress(pct):
@@ -332,8 +333,10 @@ def run(filenames, signal_data=None, speed_curve=None, resampling_mode="Linear",
                 output = linear_resample(sel, sample_at)
             progress(int((fi + 0.85) / n_files * 100))
         with log_duration("Writing"):
-            out_path = f"{os.path.splitext(filename)[0]}_res{suffix}.wav"
-            audio_io.write_wav(out_path, output, sr)
+            # write_file honours set_output_format (--flac-out), unlike a
+            # hard-coded .wav path
+            out_path = audio_io.write_file(filename, np.asarray(output), sr,
+                                           suffix=f"_res{suffix}")
             out_paths.append(out_path)
             progress(int(len(out_paths) / n_files * 100))
     logging.info("Done!")

@@ -112,3 +112,24 @@ def test_cli_pan(tmp_path, capsys, rng):
     res = run_cli(capsys, "pan", str(src), "--project", str(ppath))
     out, _, ch = audio_io.read_file(res["outputs"][0])
     assert ch == 1
+
+
+def test_cli_respeed_flac_out(tmp_path, capsys):
+    """--flac-out reroutes the standard (in-memory) respeed export to FLAC
+    (regression: resampling.run hard-coded `_res.wav`, bypassing
+    set_output_format)."""
+    sr = 22050
+    t = np.arange(2 * sr) / sr
+    speed = 1.0 + 0.02 * np.sin(2 * np.pi * 1.0 * t)
+    sig = (np.sin(2 * np.pi * 2000 * np.cumsum(speed) / sr) * 0.5).astype(np.float32)
+    src = tmp_path / "wow.wav"
+    audio_io.write_wav(src, sig, sr)
+    try:
+        res = run_cli(capsys, "--flac-out", "16", "respeed", str(src),
+                      "--fft-size", "2048", "--fft-overlap", "8",
+                      "--zeropad", "2", "--sinc-quality", "16")
+    finally:
+        audio_io.set_output_format("wav")
+    assert res["outputs"][0].endswith("_res.flac")
+    out, osr, _ = audio_io.read_file(res["outputs"][0])
+    assert osr == sr and len(out) > sr
