@@ -39,32 +39,37 @@ def _recip(d, approx_rcp: bool):
 def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=128,
                approx_rcp=False):
     """Shared shift-MAC loop for both Pallas kernels, with the per-pass
-    sin/cos evaluations replaced by plane-rotation recurrences.
+    sin/cos evaluations replaced by closed forms and one recurrence.
 
     The profiler (docs/BENCHMARKS.md, round 2) shows this loop is VPU-
     transcendental-bound: every pass evaluated ``sin`` for the sinc and
-    ``cos`` for the hann taper.  But per lane the sinc argument advances by
-    exactly ``fc`` each pass and the hann phase by ``pi/nt``, so both are
-    rotations: s' = s*cos(d) + c*sin(d), c' = c*cos(d) - s*sin(d).  Exact
-    values re-seed every ``refresh`` passes; measured drift after 132
-    recurrence steps is ~8e-7 (26x inside the kernel's 2e-5 parity
-    envelope), so one seed per 128 passes bounds error for any nt/drift
-    while spending ~zero transcendentals (refresh=16 cost ~20% of the
-    kernel).  Near x = 0 the quotient
-    sin(pi x)/(pi x) amplifies that drift, so |x| < 0.25 uses the Taylor
-    series instead (max series error 4e-7 at the switch point).
+    ``cos`` for the hann taper.  Per lane the sinc argument advances by
+    exactly ``fc`` each pass, so (s, c) follow a plane rotation
+    s' = s*cos(d) + c*sin(d), c' = c*cos(d) - s*sin(d), re-seeded exactly
+    every ``refresh`` passes (measured drift after 132 steps ~8e-7, 26x
+    inside the 2e-5 parity envelope; a 2-op Chebyshev three-term recurrence
+    was rejected — its error impulse response grows ~linearly for fc near 1
+    where e^{+-i pi fc} coalesce, ~1e-4 worst case over 128 steps).  The
+    hann phase advances by the COMPILE-TIME angle pi/nt, so its per-pass
+    value needs no recurrence at all: cos(th0 + v*hd) expands over Python-
+    float cos/sin(v*hd) into two scalar-muls of per-lane seeds — exact for
+    every pass, nothing carried.  The quotient denominator pi*x is likewise
+    evaluated drift-free per pass as (v-U)*pifc - b with per-lane
+    b = (rel-k)*pifc.  Near x = 0 the quotient sin(pi x)/(pi x) amplifies
+    seed drift, so |x| < 0.25 uses the Taylor series instead (max series
+    error 4e-7 at the switch point).
     """
     U = nt + drift
     k = jax.lax.broadcasted_iota(jnp.int32, bs.shape, dimension=1).astype(jnp.float32)
     ind_local = jnp.round(rel)
-    shift = rel - ind_local
     fc = jnp.minimum(bs, 1.0)
     m = ind_local - k           # bounded by drift
     pif = np.float32(np.pi)
-    sf = jnp.sin(pif * fc)
-    cf = jnp.cos(pif * fc)
-    shd = np.float32(np.sin(np.pi / nt))
-    chd = np.float32(np.cos(np.pi / nt))
+    pifc = pif * fc
+    sf = jnp.sin(pifc)
+    cf = jnp.cos(pifc)
+    b = (rel - k) * pifc        # d_v = (v-U)*pifc - b, exact per pass
+    hd = np.pi / nt
     L = buf.shape[1]
 
     # The (nt, drift, max_n) contract statically bounds the per-pass tap
@@ -76,42 +81,48 @@ def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=128,
     # (|pi x| is provably >= ~2 away from the removable singularity).
     fc_lo = 1.0 / (1.0 + max(drift - 2, 0) / max(max_n, 1))
 
-    # both recurrences are LINEAR, so constant per-lane factors fold into the
+    # the sinc rotation is LINEAR, so constant per-lane factors fold into the
     # seeds: (s, c) carry sin/cos(pi x) * fc * in_seg (the sinc quotient's
-    # numerator scale), and (ha, hb) carry 0.5*cos/sin of the hann phase so
-    # the taper is one subtract per pass instead of mul+sub
+    # numerator scale); the hann factor needs only its two per-lane seeds
     fcm = fc * in_seg
+    # hann seeds at v = 0 (th0 = (pi/nt)*(jf0 + nt), jf0 = -U - m); per pass
+    # 0.5*cos(th0 + v*hd) = cos(v*hd)*ca - sin(v*hd)*sa with Python-float
+    # cos/sin(v*hd) — exact, so no reseed and no carried state
+    th0 = (pif / np.float32(nt)) * (np.float32(nt - U) - m)
+    ca = 0.5 * jnp.cos(th0)
+    sa = 0.5 * jnp.sin(th0)
+    # series/quotient switch |x| < 0.25 expressed on d = pi*x: |d| < qthr
+    qthr = np.float32(0.25 * np.pi) * fc
     acc = jnp.zeros(bs.shape, jnp.float32)
-    s = c = ha = hb = None
+    s = c = None
     # static unrolled shift loop: Mosaic lowers static rolls to lane shifts
     for v in range(2 * U):
-        jf = (float(v) - U) - m
-        x = (jf - shift) * fc
-        if v % refresh == 0:  # exact re-seed
-            s = jnp.sin(pif * x) * fcm
-            c = jnp.cos(pif * x) * fcm
-            th = (pif / nt) * (jf + float(nt))
-            ha = 0.5 * jnp.cos(th)
-            hb = 0.5 * jnp.sin(th)
+        d = np.float32(v - U) * pifc - b  # = pi*x, drift-free closed form
+        if v % refresh == 0:  # exact re-seed of the sinc rotation
+            s = jnp.sin(d) * fcm
+            c = jnp.cos(d) * fcm
+        cav = np.float32(np.cos(v * hd))
+        sav = np.float32(np.sin(v * hd))
         all_valid = (v - U - drift >= -nt) and (v - U + drift <= nt - 1)
         min_abs_jf = max(0, abs(v - U) - drift)
         series_needed = (min_abs_jf - 0.5) * fc_lo < 0.25
         if series_needed:
-            px2 = (pif * x) * (pif * x)
+            px2 = d * d
             series = (1.0 - px2 / 6.0 * (1.0 - px2 / 20.0 * (1.0 - px2 / 42.0))) * fcm
-            d = pif * x
             q = s * _recip(jnp.where(jnp.abs(d) < 1e-6, np.float32(1e-6), d),
                            approx_rcp)
-            sincf = jnp.where(jnp.abs(x) < 0.25, series, q)
+            sincf = jnp.where(jnp.abs(d) < qthr, series, q)
         else:
             # masked (in_seg == 0) lanes carry unbounded m and can still land
             # on x ~ 0 here; keep the quotient finite so 0 * sinc stays 0
-            d = pif * x
             sincf = s * _recip(jnp.where(jnp.abs(d) < 1e-4, np.float32(1e-4), d),
                                approx_rcp)
-        w = sincf * (0.5 - ha)
+        # 0.5 - ha, ha = cav*ca - sav*sa (0.5 folded into the per-lane seeds):
+        # 2 scalar-muls + 2 adds, no recurrence
+        w = sincf * ((np.float32(0.5) - cav * ca) + sav * sa)
         if not all_valid:
-            valid = (jf >= -nt) & (jf < nt)
+            # jf = (v-U) - m in [-nt, nt) rewritten as bounds on m alone
+            valid = (m <= np.float32(v - U + nt)) & (m > np.float32(v - U - nt))
             w = jnp.where(valid, w, 0.0)
         # left-roll by v == right-roll by L - v (pltpu.roll wants shift >= 0);
         # the used region [:max_n] never touches the circular wrap.  (A
@@ -125,7 +136,6 @@ def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=128,
         seg = (buf if v == 0 else pltpu.roll(buf, L - v, axis=1))[:, :max_n]
         acc = acc + seg * w
         s, c = s * cf + c * sf, c * cf - s * sf
-        ha, hb = ha * chd - hb * shd, hb * chd + ha * shd
     return acc
 
 
