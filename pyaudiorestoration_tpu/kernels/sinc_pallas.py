@@ -68,7 +68,13 @@ def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=128,
     pifc = pif * fc
     sf = jnp.sin(pifc)
     cf = jnp.cos(pifc)
-    b = (rel - k) * pifc        # d_v = (v-U)*pifc - b, exact per pass
+    # d_v = (v-U)*pifc - b, exact per pass.  Masked (in_seg == 0) lanes get
+    # b shifted by 1e6 so |d| stays >= ~1e6 - 4e2 on EVERY pass: their
+    # quotient s * (1/d) is then 0 * tiny with no per-pass clamp.  Valid
+    # lanes never need one either — on series passes the |d| < qthr select
+    # discards the quotient branch near the singularity, and on non-series
+    # passes |x| >= 0.25 by the fc_lo bound below, i.e. |d| >= 0.25*pi.
+    b = (rel - k) * pifc + (1.0 - in_seg) * np.float32(1e6)
     hd = np.pi / nt
     L = buf.shape[1]
 
@@ -109,14 +115,13 @@ def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=128,
         if series_needed:
             px2 = d * d
             series = (1.0 - px2 / 6.0 * (1.0 - px2 / 20.0 * (1.0 - px2 / 42.0))) * fcm
-            q = s * _recip(jnp.where(jnp.abs(d) < 1e-6, np.float32(1e-6), d),
-                           approx_rcp)
+            # a valid lane can land on d == 0 exactly here (q -> NaN), but
+            # |d| < qthr always selects the series on those lanes and select
+            # does not propagate the unselected branch
+            q = s * _recip(d, approx_rcp)
             sincf = jnp.where(jnp.abs(d) < qthr, series, q)
         else:
-            # masked (in_seg == 0) lanes carry unbounded m and can still land
-            # on x ~ 0 here; keep the quotient finite so 0 * sinc stays 0
-            sincf = s * _recip(jnp.where(jnp.abs(d) < 1e-4, np.float32(1e-4), d),
-                               approx_rcp)
+            sincf = s * _recip(d, approx_rcp)
         # 0.5 - ha, ha = cav*ca - sav*sa (0.5 folded into the per-lane seeds):
         # 2 scalar-muls + 2 adds, no recurrence
         w = sincf * ((np.float32(0.5) - cav * ca) + sav * sa)
