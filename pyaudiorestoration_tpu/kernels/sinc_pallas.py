@@ -44,12 +44,15 @@ def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=128,
     The profiler (docs/BENCHMARKS.md, round 2) shows this loop is VPU-
     transcendental-bound: every pass evaluated ``sin`` for the sinc and
     ``cos`` for the hann taper.  Per lane the sinc argument advances by
-    exactly ``fc`` each pass, so (s, c) follow a plane rotation
-    s' = s*cos(d) + c*sin(d), c' = c*cos(d) - s*sin(d), re-seeded exactly
-    every ``refresh`` passes (measured drift after 132 steps ~8e-7, 26x
-    inside the 2e-5 parity envelope; a 2-op Chebyshev three-term recurrence
-    was rejected — its error impulse response grows ~linearly for fc near 1
-    where e^{+-i pi fc} coalesce, ~1e-4 worst case over 128 steps).  The
+    exactly ``fc`` each pass, so sin values come from an ANCHORED plane
+    rotation: an (s, c) anchor pair advances once every J=8 passes, and
+    intermediate passes expand sin(anchor + j*pifc) by angle addition with
+    precomputed per-lane cos/sin(j*pifc) (3 ops).  Anchors re-seed exactly
+    every ``refresh`` passes (the anchor chain takes 2U/J rotation steps, so
+    drift is ~J x smaller than the old per-pass rotation's measured 8e-7
+    over 132 steps; a 2-op Chebyshev three-term recurrence was rejected —
+    its error impulse response grows ~linearly for fc near 1 where
+    e^{+-i pi fc} coalesce, ~1e-4 worst case over 128 steps).  The
     hann phase advances by the COMPILE-TIME angle pi/nt, so its per-pass
     value needs no recurrence at all: cos(th0 + v*hd) expands over Python-
     float cos/sin(v*hd) into two scalar-muls of per-lane seeds — exact for
@@ -99,14 +102,39 @@ def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=128,
     sa = 0.5 * jnp.sin(th0)
     # series/quotient switch |x| < 0.25 expressed on d = pi*x: |d| < qthr
     qthr = np.float32(0.25 * np.pi) * fc
+    # Anchor scheme: the (s, c) rotation pair advances only every J passes
+    # (one 6-op rotation by the precomputed J*pifc angle); the J-1 passes in
+    # between take their sine straight off the anchor via 3-op angle
+    # addition with per-lane cos/sin(j*pifc).  Per-pass sinc cost drops from
+    # 6 to ~3 + 6/J ops, and the anchor chain takes 2U/J rotation steps
+    # instead of 2U — LESS accumulated drift than the per-pass rotation.
+    J = 8
+    assert refresh % J == 0 or refresh >= 2 * U, "reseeds must land on anchors"
+    cfj = [None] * (J + 1)
+    sfj = [None] * (J + 1)
+    cfj[1], sfj[1] = cf, sf
+    for j in range(2, J + 1):
+        cfj[j], sfj[j] = (cfj[j - 1] * cf - sfj[j - 1] * sf,
+                          sfj[j - 1] * cf + cfj[j - 1] * sf)
+    jpifc = [None] + [np.float32(j) * pifc for j in range(1, J)]
     acc = jnp.zeros(bs.shape, jnp.float32)
-    s = c = None
+    sA = cA = dA = None
     # static unrolled shift loop: Mosaic lowers static rolls to lane shifts
     for v in range(2 * U):
-        d = np.float32(v - U) * pifc - b  # = pi*x, drift-free closed form
-        if v % refresh == 0:  # exact re-seed of the sinc rotation
-            s = jnp.sin(d) * fcm
-            c = jnp.cos(d) * fcm
+        j = v % J
+        if j == 0:
+            dA = np.float32(v - U) * pifc - b  # exact anchor, drift-free
+            d = dA
+            if v % refresh == 0:  # exact transcendental re-seed
+                sA = jnp.sin(dA) * fcm
+                cA = jnp.cos(dA) * fcm
+            else:  # advance the anchor by J passes in one rotation
+                sA, cA = (sA * cfj[J] + cA * sfj[J],
+                          cA * cfj[J] - sA * sfj[J])
+            s = sA
+        else:
+            d = dA + jpifc[j]
+            s = sA * cfj[j] + cA * sfj[j]
         cav = np.float32(np.cos(v * hd))
         sav = np.float32(np.sin(v * hd))
         all_valid = (v - U - drift >= -nt) and (v - U + drift <= nt - 1)
@@ -140,7 +168,6 @@ def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=128,
         # buffer schedules ahead.)
         seg = (buf if v == 0 else pltpu.roll(buf, L - v, axis=1))[:, :max_n]
         acc = acc + seg * w
-        s, c = s * cf + c * sf, c * cf - s * sf
     return acc
 
 
