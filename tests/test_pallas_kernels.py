@@ -98,3 +98,60 @@ print("TPU_PALLAS_OK", d)
                            os.path.dirname(os.path.abspath(__file__))),
                        timeout=900)
     assert "TPU_PALLAS_OK" in r.stdout, r.stdout + r.stderr
+
+
+def test_shift_mac_weights_match_direct_transcendentals():
+    """The anchored-rotation / closed-form weight evaluation inside
+    `_shift_mac` agrees with a per-pass transcendental ground truth at the
+    adversarial cutoffs (fc == 1 exactly, where the rotation angle hits pi,
+    and fc at the drift-contract floor fc_lo) — tighter than the 2e-5
+    end-to-end envelope, so recurrence drift regressions surface here
+    before they can hide inside kernel parity.  (The residual ~5e-6 is
+    plain f32 MAC accumulation vs the f64 ground truth, not drift — it is
+    unchanged when the recurrences are replaced by exact per-pass
+    transcendentals.)"""
+    nt, drift, max_n = 30, 8, 140
+    U = nt + drift
+    tile = 8
+    L = max_n + 2 * U
+    rng = np.random.default_rng(3)
+    fc_lo = 1.0 / (1.0 + (drift - 2) / max_n)
+    for fc_case in ("one", "floor", "mixed"):
+        if fc_case == "one":
+            bs = np.ones((tile, max_n), np.float32)
+        elif fc_case == "floor":
+            bs = np.full((tile, max_n), 1.0 / fc_lo, np.float32)  # min() clips
+        else:
+            bs = (1.0 + 0.02 * rng.standard_normal((tile, max_n))).astype(np.float32)
+        k = np.arange(max_n, dtype=np.float64)[None, :]
+        rel = (k + rng.uniform(-drift + 1, drift - 1, (tile, max_n))).astype(np.float32)
+        in_seg = np.ones((tile, max_n), np.float32)
+        buf = rng.standard_normal((tile, L)).astype(np.float32) * 0.3
+        import functools
+
+        from jax.experimental import pallas as pl
+
+        import jax
+
+        got = np.asarray(pl.pallas_call(
+            functools.partial(sinc_pallas._kernel, nt=nt, drift=drift,
+                              max_n=max_n),
+            out_shape=jax.ShapeDtypeStruct((tile, max_n), jnp.float32),
+            interpret=True,
+        )(jnp.asarray(buf), jnp.asarray(bs), jnp.asarray(rel),
+          jnp.asarray(in_seg)))
+        # per-pass float64 transcendental ground truth
+        fc = np.minimum(bs.astype(np.float64), 1.0)
+        m = np.round(rel.astype(np.float64)) - k
+        shift = rel.astype(np.float64) - np.round(rel.astype(np.float64))
+        acc = np.zeros((tile, max_n))
+        for v in range(2 * U):
+            jf = (v - U) - m
+            x = (jf - shift) * fc
+            w = np.where(np.abs(x) < 1e-12, 1.0, np.sin(np.pi * x) / np.where(
+                np.abs(x) < 1e-12, 1.0, np.pi * x)) * fc
+            w = w * (0.5 - 0.5 * np.cos(np.pi / nt * (jf + nt)))
+            w = np.where((jf >= -nt) & (jf < nt), w, 0.0)
+            roll = np.roll(buf.astype(np.float64), -v, axis=1)[:, :max_n]
+            acc += roll * w
+        assert np.max(np.abs(got - acc)) < 1e-5, (fc_case, np.max(np.abs(got - acc)))
