@@ -72,11 +72,16 @@ def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=128,
     sf = jnp.sin(pifc)
     cf = jnp.cos(pifc)
     # d_v = (v-U)*pifc - b, exact per pass.  Masked (in_seg == 0) lanes get
-    # b shifted by 1e6 so |d| stays >= ~1e6 - 4e2 on EVERY pass: their
-    # quotient s * (1/d) is then 0 * tiny with no per-pass clamp.  Valid
-    # lanes never need one either — on series passes the |d| < qthr select
-    # discards the quotient branch near the singularity, and on non-series
-    # passes |x| >= 0.25 by the fc_lo bound below, i.e. |d| >= 0.25*pi.
+    # b shifted by 1e6 so |d| stays >= 1e6 - pi*(max_n + 2U) on EVERY pass
+    # (masked rel freezes near n while k runs to max_n-1, so the unshifted
+    # |d| is bounded by ~pi*(max_n + 2U) — asserted below to keep the margin
+    # real for any caller): their quotient s * (1/d) is then 0 * tiny with
+    # no per-pass clamp.  Valid lanes never need one either — on series
+    # passes the |d| < 0.25*pi select discards the quotient branch near the
+    # singularity, and on non-series passes |x| >= 0.25 by the fc_lo bound
+    # below, i.e. |d| >= 0.25*pi.
+    assert np.pi * (max_n + 2 * U) < 2e5, \
+        "masked-lane |d| margin: max_n too large for the 1e6 b-shift"
     b = (rel - k) * pifc + (1.0 - in_seg) * np.float32(1e6)
     hd = np.pi / nt
     L = buf.shape[1]
@@ -100,8 +105,8 @@ def _shift_mac(buf, bs, rel, in_seg, *, nt, drift, max_n, refresh=128,
     th0 = (pif / np.float32(nt)) * (np.float32(nt - U) - m)
     ca = 0.5 * jnp.cos(th0)
     sa = 0.5 * jnp.sin(th0)
-    # series/quotient switch |x| < 0.25 expressed on d = pi*x: |d| < qthr
-    qthr = np.float32(0.25 * np.pi) * fc
+    # series/quotient switch |x| < 0.25 expressed on d = pi*x: |d| < pi/4
+    qthr = np.float32(0.25 * np.pi)
     # Anchor scheme: the (s, c) rotation pair advances only every J passes
     # (one 6-op rotation by the precomputed J*pifc angle); the J-1 passes in
     # between take their sine straight off the anchor via 3-op angle

@@ -120,7 +120,7 @@ def test_shift_mac_weights_match_direct_transcendentals():
         if fc_case == "one":
             bs = np.ones((tile, max_n), np.float32)
         elif fc_case == "floor":
-            bs = np.full((tile, max_n), 1.0 / fc_lo, np.float32)  # min() clips
+            bs = np.full((tile, max_n), fc_lo, np.float32)  # fc at the floor
         else:
             bs = (1.0 + 0.02 * rng.standard_normal((tile, max_n))).astype(np.float32)
         k = np.arange(max_n, dtype=np.float64)[None, :]
