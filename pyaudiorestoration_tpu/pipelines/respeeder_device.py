@@ -91,6 +91,24 @@ def sinc_shift_mac(buf, bs, rel, in_seg, max_n: int, nt: int, drift: int):
                              jnp.zeros(bs.shape, jnp.float32))
 
 
+def _tree_sum_last(x):
+    """Fixed-order binary-tree sum over the last axis via explicit
+    elementwise adds.  XLA's ``reduce`` is free to reassociate — and DOES
+    pick different orders in different enclosing programs, which turned the
+    per-segment advance sums into a cross-backend nondeterminism source
+    (pallas- vs xla-backend programs produced ``base_frac`` plans differing
+    ~2.7e-4 at e.g. n=49999, breaking their 3e-5 output parity).
+    Elementwise adds have a fixed DAG, so this is bit-deterministic for any
+    program shape at the same FLOP count."""
+    n_ = x.shape[-1]
+    p2 = 1 << max(n_ - 1, 1).bit_length()
+    if p2 != n_:
+        x = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, p2 - n_),))
+    while x.shape[-1] > 1:
+        x = x[..., 0::2] + x[..., 1::2]
+    return x[..., 0]
+
+
 def segment_advances(s_lo, s_hi, n, max_n: int, seg_chunk: int = 32768):
     """Exact per-segment input advances ``A_i = sum_k 1/bs_ik`` on the padded
     grid, chunked so HBM holds one (seg_chunk, max_n) reciprocal grid at a
@@ -103,7 +121,13 @@ def segment_advances(s_lo, s_hi, n, max_n: int, seg_chunk: int = 32768):
         denom = jnp.maximum(nn[:, None] - 1, 1).astype(jnp.float32)
         bs = lo[:, None] + kf / denom * (hi[:, None] - lo[:, None])
         inv = jnp.where(ki < nn[:, None], 1.0 / bs, 0.0)
-        return jnp.sum(inv, axis=1)
+        # A_i = n_i + sum(1/bs - 1): the integer part is exact and the
+        # residual sum has ~n_i/30 the magnitude of sum(1/bs) (speeds are
+        # near 1), so the deterministic tree sum's absolute error shrinks by
+        # the same factor.  inv - 1 is EXACT for inv in [0.5, 2] (Sterbenz;
+        # half-ulp-of-small-result otherwise, still ~1e-8).
+        e = jnp.where(ki < nn[:, None], inv - 1.0, 0.0)
+        return nn.astype(jnp.float32) + _tree_sum_last(e)
 
     T = n.shape[0]
     if T <= seg_chunk:
@@ -697,7 +721,14 @@ def _fused_plan(mono, NL, NU, n_fft: int, step: int, zeropad: int, max_n: int,
     # segment advances A_i = sum_k 1/bs, chunked to bound the (T, max_n) grid
     A = segment_advances(s_lo, s_hi, n, max_n)
     base_int, base_frac = _split_cumsum_exclusive(A)
-    return speeds, n, base_int, base_frac
+    # Pin the plan's codegen: the enclosing program differs per sinc backend,
+    # and without a barrier XLA fuses into the tracking/cumsum subgraph
+    # differently per program — 1-ulp speed differences then flip dither
+    # roundings (observed: pallas- vs xla-backend programs produced plans
+    # differing at ~10% of segments for e.g. n=49999, shifting whole
+    # segments by one sample).  The barrier isolates the plan subgraph so
+    # every enclosing program compiles it identically.
+    return jax.lax.optimization_barrier((speeds, n, base_int, base_frac))
 
 
 def _flatten_takes(xb, speeds, nn, bi, bf, max_n: int, nt: int, drift: int):

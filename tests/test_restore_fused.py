@@ -201,3 +201,52 @@ def test_restore_fused_takes_independent_curves():
             xb[i], NL[i], NU[i], n_fft, step, zp, max_n, 8, 8))
         np.testing.assert_allclose(batch[i], single, atol=1e-6)
     assert not np.allclose(batch[0], batch[1], atol=1e-3)
+
+
+def test_plan_bit_deterministic_across_enclosing_programs():
+    """The dither/base plan must be BIT-identical no matter what program it
+    is embedded in: XLA's `reduce` may legally reassociate per program, and
+    the old `jnp.sum` segment-advance reduction did exactly that (pallas- vs
+    xla-backend programs disagreed on base_frac by ~2.7e-4 at n=49999,
+    breaking their 3e-5 output parity).  segment_advances now uses a
+    fixed-order tree sum; this pins it by compiling the plan into two
+    programs with different downstream consumers."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from pyaudiorestoration_tpu.pipelines import respeeder_device as rdev
+
+    sr = 22050
+    fft, overlap, zp, q, drift = 2048, 4, 2, 50, 16
+    hop = fft // overlap
+    n = 49999
+    t = np.arange(n) / sr
+    speed = (1.0 + 0.02 * np.sin(2 * np.pi * 1.3 * t)
+             + 0.004 * np.sin(2 * np.pi * 6.1 * t))
+    sig = (np.sin(2 * np.pi * 2000 * np.cumsum(speed) / sr) * 0.5).astype(np.float32)
+    num_bins = fft * zp // 2 + 1
+    NL = max(1, min(num_bins - 1, int(round(2000 * 2 ** (-1 / 6) * fft * zp / sr))))
+    NU = max(2, min(num_bins - 1, int(round(2000 * 2 ** (1 / 6) * fft * zp / sr))))
+    n_frames = (n + (fft // 2) * 2 - fft) // hop + 1
+    NLs = jnp.full((n_frames,), NL, jnp.int32)
+    NUs = jnp.full((n_frames,), NU, jnp.int32)
+    max_n = int(hop * 1.1)
+
+    @functools.partial(jax.jit, static_argnames=("variant",))
+    def prog(x, variant):
+        speeds, nn, bi, bf = rdev._fused_plan(
+            x, NLs, NUs, fft, hop, zp, max_n, q, drift, "blackmanharris",
+            (NL - 1, NU + 1))
+        if variant == "a":
+            extra = jnp.sum(bf * 2.0) + jnp.sum(speeds[:-1] * speeds[1:])
+        else:
+            # a very different consumer graph: reshape/convolve-ish chain
+            extra = jnp.sum(jnp.cumsum(bf) * nn.astype(jnp.float32)) + bi[-1]
+        return speeds, nn, bi, bf, extra
+
+    ra = [np.asarray(v) for v in prog(jnp.asarray(sig), "a")]
+    rb = [np.asarray(v) for v in prog(jnp.asarray(sig), "b")]
+    for name, a, b in zip(("speeds", "n", "base_int", "base_frac"), ra, rb):
+        assert np.array_equal(a, b), f"plan {name} differs across programs"
