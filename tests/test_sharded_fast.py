@@ -339,3 +339,23 @@ def test_restore_batch_files_fused_more_files_than_mesh(tmp_path):
     for o in outs:
         b, _, _ = audio_io.read_file(o)
         assert np.all(np.isfinite(b))
+
+
+def test_sharded_fast_bitexact_at_non_block_multiple_shards():
+    """Shard lengths NOT a multiple of the 1024-segment split-cumsum block
+    were documented as parity-envelope-only, but the exact-limb rework makes
+    them bit-exact too (the partial-block totals reproduce the dense
+    arithmetic).  Pin that stronger property (sweep-verified at Tl in
+    {100, 300, 1000, 1027, 1536} on 2/4 time shards)."""
+    n_time, Tl = 2, 300
+    n = Tl * STEP * n_time
+    x = _wobble_take(n)[None, :]
+    NL, NU = _bands(n)
+    mesh = _mesh(1, n_time)
+    xs = pmesh.shard_time_batch(mesh, x)
+    pad_s = np.asarray(sharded.restore_fused_sharded(
+        mesh, xs, NL, NU, NFFT, STEP, ZP, MAX_N, NT, DRIFT, band=BAND)[0])
+    pad_d = np.asarray(rdev.restore_fused_device(
+        jnp.asarray(x[0]), jnp.asarray(NL), jnp.asarray(NU), NFFT, STEP, ZP,
+        MAX_N, NT, DRIFT, band=BAND))
+    assert np.array_equal(pad_s[0], pad_d)
