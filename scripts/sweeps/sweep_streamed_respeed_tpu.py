@@ -9,7 +9,7 @@ rng = np.random.default_rng(5)
 d = tempfile.mkdtemp()
 sr = 22050
 fails = 0
-lens = [49999, 65536, 65537, 104729, 220500 + 317]
+lens = [49999, 104729]
 for it, n in enumerate(lens):
     t = np.arange(n) / sr
     speed = 1.0 + 0.015 * np.sin(2 * np.pi * 1.2 * t)
