@@ -36,6 +36,9 @@ def main():
 
     from pyaudiorestoration_tpu.pipelines import respeeder_device as rdev
     from pyaudiorestoration_tpu.utils import audio_io
+    from pyaudiorestoration_tpu.utils.device import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()  # cold compile is minutes; 1x/machine
 
     sig, sr, _ = audio_io.read_file(SAMPLE)
     reps = max(1, int(REPEAT_S * sr / len(sig)))
