@@ -66,13 +66,19 @@ def test_pallas_dma_compiles_on_tpu():
     import subprocess
     import sys
 
+    import pytest
+
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
-    probe = subprocess.run(
-        [sys.executable, "-c",
-         "import jax; print(jax.devices()[0].platform)"],
-        capture_output=True, text=True, env=env)
+    try:
+        # a wedged TPU relay makes jax.devices() hang forever — bound the
+        # probe so this test (and the whole suite) degrades to a skip
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, env=env, timeout=180)
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU probe timed out (relay down?)")
     if "tpu" not in probe.stdout and "axon" not in (probe.stdout or ""):
-        import pytest
         pytest.skip(f"no TPU in this session: {probe.stdout.strip()!r}")
     code = """
 import numpy as np, jax.numpy as jnp
