@@ -213,6 +213,13 @@ def build_parser():
                     choices=["all", "flutter", "snr", "spectral"])
 
     sp = sub.add_parser("bench", help="run the benchmark")
+
+    sp = sub.add_parser("doctor", help="bounded environment/device health "
+                        "checks (codec, compile cache, device runtime)")
+    sp.add_argument("--device-timeout", type=float, default=120.0,
+                    help="seconds before declaring the device runtime wedged")
+    sp.add_argument("--no-device", action="store_true",
+                    help="skip the device probe (codec/cache checks only)")
     return p
 
 
@@ -479,6 +486,13 @@ def _dispatch(args):
     elif args.cmd == "bench":
         import runpy
         runpy.run_path("bench.py", run_name="__main__")
+    elif args.cmd == "doctor":
+        from .utils.doctor import run_doctor
+
+        report = run_doctor(device_timeout_s=args.device_timeout,
+                            skip_device=args.no_device)
+        print(json.dumps(report))
+        return 0 if report["healthy"] else 2
     return 0
 
 

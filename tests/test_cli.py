@@ -133,3 +133,26 @@ def test_cli_respeed_flac_out(tmp_path, capsys):
     assert res["outputs"][0].endswith("_res.flac")
     out, osr, _ = audio_io.read_file(res["outputs"][0])
     assert osr == sr and len(out) > sr
+
+
+def test_cli_doctor_no_device(capsys):
+    """doctor --no-device: codec + compile-cache checks, JSON contract,
+    exit 0 when healthy (device probes are covered operationally — they
+    need a live or deliberately wedged runtime)."""
+    rc = cli.main(["doctor", "--no-device"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rep = json.loads(out)
+    assert rc == (0 if rep["healthy"] else 2)
+    assert rep["native_codec"]["loaded"] is True
+    assert "compile_cache" in rep
+    assert "device" not in rep
+
+
+def test_doctor_cpu_probe_subprocess():
+    """The bounded subprocess probe reports a healthy CPU platform (the
+    wedged-relay path returns status='timeout' instead of hanging)."""
+    from pyaudiorestoration_tpu.utils.doctor import _probe_devices
+
+    status, info = _probe_devices(90.0, platform="cpu")
+    assert status == "ok", info
+    assert info["tiny_op_ok"] and info["device_count"] >= 1
