@@ -554,6 +554,15 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
         A = jax.vmap(lambda a, b, c: segment_advances(a, b, c, max_n))(
             s_lo, s_hi, nn)
         base_int, base_frac = _sharded_split_exclusive(A, "time", n_time)
+        # Pin the plan's codegen exactly like the dense tier's _fused_plan:
+        # without a barrier XLA may fuse the sinc consumers into this
+        # subgraph differently than in the dense program, and 1-ulp
+        # differences flip dither roundings — which would break the
+        # dense/sharded BIT-parity the fast tier guarantees (see
+        # respeeder_device._fused_plan and docs/ARCHITECTURE.md §13).
+        speeds, nn, base_int, base_frac = jax.lax.optimization_barrier(
+            (speeds, nn, base_int, base_frac))
+        s_lo, s_hi = speeds[:, :-1], speeds[:, 1:]  # re-derive POST-barrier
 
         # shard-local sinc windows with bounded halos
         left = _right_ppermute(xb[..., -Hl:], "time", n_time)

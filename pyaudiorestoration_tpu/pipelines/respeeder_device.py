@@ -100,11 +100,11 @@ def _tree_sum_last(x):
     ~2.7e-4 at e.g. n=49999, breaking their 3e-5 output parity).
     Elementwise adds have a fixed DAG, so this is bit-deterministic for any
     program shape at the same FLOP count."""
-    n_ = x.shape[-1]
-    p2 = 1 << max(n_ - 1, 1).bit_length()
-    if p2 != n_:
-        x = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, p2 - n_),))
+    # pad-to-even at each level (not to the next power of two upfront: that
+    # would transiently hold up to ~2x the documented (chunk, max_n) grid)
     while x.shape[-1] > 1:
+        if x.shape[-1] % 2:
+            x = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, 1),))
         x = x[..., 0::2] + x[..., 1::2]
     return x[..., 0]
 

@@ -28,9 +28,11 @@ _lib_lock = threading.Lock()
 
 def _build_native() -> bool:
     try:
+        # bounded: a stuck toolchain/filesystem must fail the build, not
+        # hang every caller (the doctor health check relies on this)
         subprocess.run(
             ["make", "-s"], cwd=_NATIVE_DIR, check=True,
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, timeout=300,
         )
         return os.path.isfile(_LIB_PATH)
     except Exception:

@@ -111,6 +111,9 @@ def run_doctor(device_timeout_s: float = 120.0, skip_device: bool = False):
     # device runtime (bounded; a wedged relay must not hang the doctor)
     if not skip_device:
         status, info = _probe_devices(device_timeout_s)
+        if status == "ok" and not info.get("tiny_op_ok", False):
+            # initialized but computing WRONG results — worse than down
+            status = "wrong_result"
         report["device"] = {"status": status, **info}
         if status != "ok":
             report["healthy"] = False

@@ -5,7 +5,7 @@ import numpy as np
 sys.path.insert(0, '/root/repo')
 from pyaudiorestoration_tpu.utils import audio_io
 
-rng = np.random.default_rng(int(__import__("sys").argv[1]) if len(__import__("sys").argv)>1 else 11)
+rng = np.random.default_rng(int(sys.argv[1]) if len(sys.argv) > 1 else 11)
 d = tempfile.mkdtemp()
 fails = 0
 for it in range(24):

@@ -57,4 +57,26 @@ for it, n in enumerate(lens):
     except Exception as e:
         fails += 1
         print(f"[hpss {it}] EXC: {type(e).__name__}: {e}")
+    try:
+        # dropouts-batch: inject band-limited dropouts, compare streamed
+        drop = xx.copy()
+        for c0 in (n // 3, 2 * n // 3):
+            drop[c0:c0 + 400] *= 0.05
+        dsrc = os.path.join(d, f"drop{it}.wav")
+        audio_io.write_wav(dsrc, drop, sr)
+        p_m = dropouts.process_heuristic(dsrc, fft_size=512, num_bands=6,
+                                         f_lower=100.0, f_upper=1000.0,
+                                         suffix=f"_dm{it}", stream=False)
+        p_s = dropouts.process_heuristic(dsrc, fft_size=512, num_bands=6,
+                                         f_lower=100.0, f_upper=1000.0,
+                                         suffix=f"_ds{it}", stream=True)
+        a = audio_io.read_file(p_m)[0]; b = audio_io.read_file(p_s)[0]
+        m = min(len(a), len(b)); pad = 2048
+        dmax = float(np.max(np.abs(a[pad:m-pad] - b[pad:m-pad])))
+        ok = a.shape == b.shape and dmax < 1e-4
+        fails += (not ok)
+        print(f"[dropouts {it}] {'ok' if ok else 'FAIL'} interior maxdiff={dmax:.2e}")
+    except Exception as e:
+        fails += 1
+        print(f"[dropouts {it}] EXC: {type(e).__name__}: {e}")
 print("FAILS:", fails)
