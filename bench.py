@@ -31,6 +31,16 @@ REPEAT_S = 30.0
 
 
 def main():
+    # a wedged device relay hangs jax.devices() forever; probe boundedly in
+    # a subprocess first so a dead environment fails fast instead
+    from pyaudiorestoration_tpu.utils.doctor import _probe_devices
+
+    status, info = _probe_devices(600.0)
+    if status != "ok":
+        print(f"bench: device runtime unavailable ({status}): {info}",
+              file=sys.stderr)
+        sys.exit(3)
+
     import jax
     import jax.numpy as jnp
 
