@@ -156,3 +156,22 @@ def test_doctor_cpu_probe_subprocess():
     status, info = _probe_devices(90.0, platform="cpu")
     assert status == "ok", info
     assert info["tiny_op_ok"] and info["device_count"] >= 1
+
+
+def test_doctor_gates_on_wrong_result(monkeypatch):
+    """A device that initializes but computes wrong results must be
+    unhealthy (status 'wrong_result'), not 'ok' — orchestration gates on
+    this exit code."""
+    from pyaudiorestoration_tpu.utils import doctor
+
+    def fake_probe(timeout_s, platform=None):
+        if platform == "cpu":
+            return "ok", {"tiny_op_ok": True, "device_count": 1}
+        return "ok", {"tiny_op_ok": False, "device_count": 1,
+                      "platform": "tpu"}
+
+    monkeypatch.setattr(doctor, "_probe_devices", fake_probe)
+    rep = doctor.run_doctor(device_timeout_s=5.0)
+    assert rep["device"]["status"] == "wrong_result"
+    assert rep["healthy"] is False
+    assert rep["device"]["cpu_fallback"]["status"] == "ok"
