@@ -34,6 +34,10 @@ def build_parser():
     p = argparse.ArgumentParser(prog="pyaudiorestoration_tpu",
                                 description="TPU-native audio restoration")
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
+                   help="force the JAX backend; 'cpu' is the doctor-"
+                        "recommended fallback when the device runtime is "
+                        "unhealthy (must be set before first device use)")
     p.add_argument("--flac-out", nargs="?", const=24, type=int, default=None,
                    metavar="BITS",
                    help="write outputs as FLAC (native encoder) instead of "
@@ -212,6 +216,47 @@ def build_parser():
     sp.add_argument("--metric", default="all",
                     choices=["all", "flutter", "snr", "spectral"])
 
+    sp = sub.add_parser("decompress", help="transfer a reference's dynamics "
+                        "onto a compressed source (decompressor)")
+    sp.add_argument("source", help="dynamically compressed file to fix")
+    sp.add_argument("reference", help="file with the target dynamics")
+    sp.add_argument("--hop", type=int, default=32)
+    sp.add_argument("--rms-size", type=int, default=512,
+                    help="RMS window size (samples)")
+    sp.add_argument("--lower", type=float, default=80.0)
+    sp.add_argument("--upper", type=float, default=9000.0)
+    sp.add_argument("--smoothing", type=float, default=0.08,
+                    metavar="SEC", help="gain-curve smoothing (seconds)")
+    sp.add_argument("--sync", action="store_true",
+                    help="cross-correlate the RMS envelopes and align first")
+    sp.add_argument("--stream", action="store_true",
+                    help="force the blockwise larger-than-memory path")
+
+    sp = sub.add_parser("group-delay", help="per-band delay & correlation "
+                        "between two takes (group_delay diagnostics)")
+    sp.add_argument("reference")
+    sp.add_argument("source")
+    sp.add_argument("--lower", type=float, default=10.0)
+    sp.add_argument("--upper", type=float, default=2000.0)
+    sp.add_argument("--bandwidth", type=float, default=45.0)
+    sp.add_argument("--order", type=int, default=1)
+    sp.add_argument("--min-corr", type=float, default=0.6,
+                    help="report only bands above this correlation")
+
+    sp = sub.add_parser("cyclic-wow", help="once-per-rotation wow analysis "
+                        "of a record transfer (cyclic_wow)")
+    sp.add_argument("input")
+    sp.add_argument("--rpm", type=float, default=45.0,
+                    help="nominal record speed")
+    sp.add_argument("--f0", type=float, default=700.0,
+                    help="tone to trace")
+    sp.add_argument("--fft-size", type=int, default=16384)
+    sp.add_argument("--tolerance", type=float, default=0.1,
+                    help="cycle-length search range (fraction of nominal)")
+    sp.add_argument("--curve-out", metavar="TXT",
+                    help="write the averaged cycle curve (one value per "
+                         "frame, semitones) to a text file")
+
     sp = sub.add_parser("bench", help="run the benchmark")
 
     sp = sub.add_parser("doctor", help="bounded environment/device health "
@@ -227,6 +272,14 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.DEBUG if args.verbose else logging.INFO,
                         format="%(levelname)s | %(message)s")
+    if args.platform:
+        # in-process config update, NOT an env var: the site's plugin
+        # registration overwrites JAX_PLATFORMS, so this is the only hook
+        # that reliably redirects a wedged device runtime to CPU
+        import jax
+
+        jax.config.update("jax_platforms",
+                          {"tpu": "axon"}.get(args.platform, args.platform))
     from .utils.device import enable_persistent_compile_cache
 
     enable_persistent_compile_cache()  # minutes-long kernel compiles: 1x/machine
@@ -483,6 +536,42 @@ def _dispatch(args):
                                               n for n, _ in takes),
                                           max_seconds=args.seconds)
         print(json.dumps({"outputs": [out]}))
+    elif args.cmd == "decompress":
+        from .pipelines import decompressor
+        out = decompressor.decompress_file(
+            args.source, args.reference,
+            stream=True if args.stream else "auto",
+            hop=args.hop, sz=args.rms_size, lower=args.lower,
+            upper=args.upper, smoothing_sec=args.smoothing,
+            do_sync=args.sync)
+        print(json.dumps({"outputs": [out]}))
+    elif args.cmd == "group-delay":
+        from .pipelines import group_delay
+        from .utils import audio_io
+        ref, sr, _ = audio_io.read_file(args.reference)
+        src, sr2, _ = audio_io.read_file(args.source)
+        if sr != sr2:
+            raise ValueError("Both files must have the same sample rate")
+        bands = group_delay.band_delays(
+            ref[:, 0], src[:, 0], sr, f_lower=args.lower, f_upper=args.upper,
+            bandwidth=args.bandwidth, order=args.order,
+            min_corr=args.min_corr)
+        print(json.dumps({"sr": sr, "bands": bands}))
+    elif args.cmd == "cyclic-wow":
+        import numpy as np
+
+        from .pipelines import cyclic_wow
+        from .utils import audio_io
+        sig, sr, _ = audio_io.read_file(args.input)
+        res = cyclic_wow.analyze(sig, sr, rpm=args.rpm, f0=args.f0,
+                                 fft_size=args.fft_size,
+                                 tolerance=args.tolerance)
+        curve = np.asarray(res.pop("cycle_curve"))
+        res.pop("scan", None)
+        if args.curve_out:
+            np.savetxt(args.curve_out, 12.0 * (curve - np.mean(curve)))
+            res["curve_out"] = args.curve_out
+        print(json.dumps(res))
     elif args.cmd == "bench":
         import runpy
         runpy.run_path("bench.py", run_name="__main__")

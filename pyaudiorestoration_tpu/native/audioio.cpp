@@ -829,9 +829,14 @@ void write_flac_subframe(BitWriter& bw, const int64_t* x, uint32_t n, int bps) {
     if (u > umax) umax = u;
   }
   int raw_bits = 1;
-  while (raw_bits < 31 && (umax >> raw_bits)) ++raw_bits;
+  while (raw_bits < 40 && (umax >> raw_bits)) ++raw_bits;
   ++raw_bits;  // sign bit (u is the zigzag magnitude; residual needs one more)
-  if (rice_bits > (uint64_t)count * (uint64_t)raw_bits) {
+  // the 5-bit width field caps raw residuals at 31 bits; wider residuals
+  // (possible near 2^29 from an order-4 predictor on 24-bit input) must
+  // stay rice-coded — put_bits(32, 5) would truncate to 0 and corrupt the
+  // frame.
+  if (raw_bits <= 31 &&
+      rice_bits > (uint64_t)count * (uint64_t)raw_bits) {
     bw.put_bits(0xF, 4);  // escape: raw residuals
     bw.put_bits((uint32_t)raw_bits, 5);
     for (uint32_t i = (uint32_t)best_order; i < n; ++i)
@@ -1112,22 +1117,30 @@ bool open_flac_stream(const char* path, StreamReader& s) {
   }
   // frame-index sidecar: the index walk decodes every frame once; streamed
   // tools open a file several times (profile pass, engine pass), so cache
-  // the index next to the file, keyed by the container size
+  // the index next to the file, keyed by the container size AND a
+  // fingerprint of the header bytes (the first 256 bytes cover STREAMINFO
+  // incl. the audio MD5, so a same-size replacement invalidates the cache)
   std::string idx_path = std::string(path) + ".flacidx";
+  uint64_t fp = 1469598103934665603ull;  // FNV-1a over the header bytes
+  {
+    size_t n = s.flac_size < 256 ? s.flac_size : 256;
+    for (size_t i = 0; i < n; ++i)
+      fp = (fp ^ s.flac_data[i]) * 1099511628211ull;
+  }
   int64_t total_from_cache = -1;
   {
     FILE* fi = fopen(idx_path.c_str(), "rb");
     if (fi) {
-      uint64_t hdr[4];  // magic, container size, n entries, total samples
-      if (fread(hdr, sizeof(uint64_t), 4, fi) == 4 &&
-          hdr[0] == 0x464C414349445831ull && hdr[1] == (uint64_t)s.flac_size &&
-          hdr[2] > 0 && hdr[2] < (1ull << 40)) {
-        std::vector<uint64_t> raw(2 * hdr[2]);
+      uint64_t hdr[5];  // magic, container size, fingerprint, n, total
+      if (fread(hdr, sizeof(uint64_t), 5, fi) == 5 &&
+          hdr[0] == 0x464C414349445832ull && hdr[1] == (uint64_t)s.flac_size &&
+          hdr[2] == fp && hdr[3] > 0 && hdr[3] < (1ull << 40)) {
+        std::vector<uint64_t> raw(2 * hdr[3]);
         if (fread(raw.data(), sizeof(uint64_t), raw.size(), fi) == raw.size()) {
-          s.flac_index.resize(hdr[2]);
-          for (uint64_t i = 0; i < hdr[2]; ++i)
+          s.flac_index.resize(hdr[3]);
+          for (uint64_t i = 0; i < hdr[3]; ++i)
             s.flac_index[i] = {(int64_t)raw[2 * i], (size_t)raw[2 * i + 1]};
-          total_from_cache = (int64_t)hdr[3];
+          total_from_cache = (int64_t)hdr[4];
         }
       }
       fclose(fi);
@@ -1158,7 +1171,7 @@ bool open_flac_stream(const char* path, StreamReader& s) {
     if (!s.flac_index.empty()) {
       FILE* fo = fopen(idx_path.c_str(), "wb");
       if (fo) {  // best-effort (read-only dirs just skip the cache)
-        uint64_t hdr[4] = {0x464C414349445831ull, (uint64_t)s.flac_size,
+        uint64_t hdr[5] = {0x464C414349445832ull, (uint64_t)s.flac_size, fp,
                            (uint64_t)s.flac_index.size(), (uint64_t)sample};
         std::vector<uint64_t> raw;
         raw.reserve(2 * s.flac_index.size());
@@ -1166,7 +1179,7 @@ bool open_flac_stream(const char* path, StreamReader& s) {
           raw.push_back((uint64_t)e.sample);
           raw.push_back((uint64_t)e.offset);
         }
-        bool ok = fwrite(hdr, sizeof(uint64_t), 4, fo) == 4 &&
+        bool ok = fwrite(hdr, sizeof(uint64_t), 5, fo) == 5 &&
                   fwrite(raw.data(), sizeof(uint64_t), raw.size(), fo) ==
                       raw.size();
         fclose(fo);

@@ -19,11 +19,19 @@ __all__ = ["load_batch", "restore_batch", "restore_batch_files",
            "lag_resample_file_sharded"]
 
 
-def load_batch(paths, multiple: int = 1, channel: int = 0):
+def load_batch(paths, multiple: int = 1, channel: int = 0,
+               reflect_tail: int = 0):
     """Read files into a zero-padded (files, time) batch.
 
     All files must share a sample rate; lengths pad to the maximum, rounded
     up to ``multiple`` (the mesh's time-shard granularity).
+
+    ``reflect_tail``: continue each row past its real end with the take's
+    REFLECTION for this many samples (zeros after).  This is the solo
+    restoration path's boundary convention (``track_speed_device`` reflect-
+    pads by n_fft//2), so a padded row tracks bit-identically to its solo
+    run — pass ``reflect_tail=n_fft`` together with
+    ``restore_fused_sharded(..., lengths=...)``.
     Returns (batch, sr, lengths).
     """
     signals, srs = [], []
@@ -34,11 +42,15 @@ def load_batch(paths, multiple: int = 1, channel: int = 0):
     if len(set(srs)) != 1:
         raise ValueError(f"Sample rates differ: {srs}")
     lengths = [len(s) for s in signals]
-    n = max(lengths)
+    n = max(lengths) + reflect_tail
     n = -(-n // multiple) * multiple
     batch = np.zeros((len(signals), n), dtype=np.float32)
     for i, s in enumerate(signals):
-        batch[i, :len(s)] = s
+        L = len(s)
+        batch[i, :L] = s
+        if reflect_tail and L >= 2:
+            k = min(n - L, reflect_tail, L - 1)
+            batch[i, L:L + k] = s[L - 2:L - 2 - k:-1]
     return batch, srs[0], lengths
 
 
@@ -59,9 +71,10 @@ def restore_batch_files_fused(paths, f0_hz=None, tolerance_st: float = 1.0,
     single-chip flagship) -> host compaction -> write ``*_res`` files.
 
     Each file tracks its OWN speed curve (independent takes).  Files pad to
-    a common length; the padded tail tracks band noise, which perturbs the
-    take's centering mean by at most ``tolerance_st * tail_fraction``
-    semitones — batch takes of similar length for best fidelity.
+    a common length, but the pad does NOT perturb the result: rows carry the
+    solo reflect continuation (``load_batch(reflect_tail=n_fft)``) and the
+    per-take ``lengths`` mask the centering mean and the sinc tail, so every
+    take's output is bit-identical to its solo dense restore.
     ``f0_hz=None`` probes the pilot tone from the first file.
     """
     import jax
@@ -81,7 +94,8 @@ def restore_batch_files_fused(paths, f0_hz=None, tolerance_st: float = 1.0,
     for i in range(0, len(paths), n_files_axis):
         group = paths[i:i + n_files_axis]
         pad_group = list(group) + [group[-1]] * (n_files_axis - len(group))
-        batch, sr, lengths = load_batch(pad_group, multiple=n_time * step)
+        batch, sr, lengths = load_batch(pad_group, multiple=n_time * step,
+                                        reflect_tail=fft_size)
         n = batch.shape[1]
         if f0_hz is None:
             f0_hz = _probe_f0(batch[0], sr)
@@ -93,11 +107,11 @@ def restore_batch_files_fused(paths, f0_hz=None, tolerance_st: float = 1.0,
         padded, nn, bi, bf = sharded.restore_fused_sharded(
             mesh, xs, NL, NU, fft_size, step, zeropad,
             max_n=int(step * 1.25), nt=int(sinc_quality), drift=drift,
-            backend=backend)
+            backend=backend, lengths=lengths)
         padded = np.asarray(padded)
         nn = np.asarray(nn)
         for path, row, counts, length in zip(group, padded, nn, lengths):
-            t_real = min(len(counts), -(-length // step))
+            t_real = min(len(counts), length // step)  # the solo segment count
             flat = sharded.compact_padded_host(row[:t_real], counts[:t_real])
             out_paths.append(audio_io.write_file(path, flat, sr, 1,
                                                  suffix=out_suffix))

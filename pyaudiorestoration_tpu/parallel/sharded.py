@@ -381,7 +381,7 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
                           drift: int = 32, window_name: str = "blackmanharris",
                           band=None, speed_curve=None, base_slack: int = 16,
                           chunk_frames: int = 4096, backend: str = "xla",
-                          share_curve: bool = False):
+                          share_curve: bool = False, lengths=None):
     """The single-chip fused restoration step on a ('files', 'time') mesh.
 
     Same kernels and conventions as ``respeeder_device.restore_fused_device``
@@ -419,11 +419,21 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
     window starts ``base_int - shard_start``) takes small DIFFERENCES of
     equally-wrapped values, which two's-complement arithmetic recovers
     exactly.  Only the RETURNED ``base_int`` is then wrapped mod 2**32;
-    hosts can unwrap it by monotonicity when compacting.
+    hosts can unwrap it with :func:`unwrap_base_int` when compacting.
+
+    ``lengths``: optional host (batch,) real sample counts for a
+    MIXED-LENGTH batch.  The TraceLine centering mean then runs over each
+    take's own frames only, and sinc taps past a take's end read zero — the
+    first ``length//step`` output segments are bit-identical to the take's
+    solo ``restore_fused_device`` run PROVIDED rows carry the solo reflect
+    continuation for >= n_fft//2 samples past their end (build the batch
+    with ``parallel.batch.load_batch(..., reflect_tail=n_fft)``); tracked
+    masking requires lengths < 2**31 (the dense tier's own bound).
     """
     from ..pipelines.respeeder_device import (
-        _banded_dft_matrix, exact_log_center, log_center_for_band,
-        quantized_log_sums, segment_advances, segment_grids, sinc_shift_mac)
+        _banded_dft_matrix, exact_log_center, inv_count_limbs,
+        log_center_for_band, quantized_log_sums, segment_advances,
+        segment_grids, sinc_shift_mac)
     from ..models.trackers import masked_peak_refine
 
     n_time = mesh.shape["time"]
@@ -468,6 +478,13 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
         sc_ov = np.stack([sc[:, d * Tl: d * Tl + Tl + 1] for d in range(n_time)],
                          axis=1)
     d_bound = min(0.9, max(drift - 2, 1) / max_n)
+    if lengths is not None:
+        lengths_h = np.asarray(lengths, np.int64)
+        assert lengths_h.shape == (batch,)
+        # host-computed 1/count limb factors (bit-parity with a static
+        # count, see respeeder_device.inv_count_limbs)
+        inv_np = inv_count_limbs(lengths_h // step + 1)
+        len_np = lengths_h.astype(np.int32)
 
     def track_local(xb, nl, nu, is_first, is_last):
         # reflect-centered frames: frame t covers x[t*step - pad, ...+n_fft)
@@ -508,7 +525,12 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
         # (n_chunks, B, chunk) -> (B, n_frames_loc)
         return jnp.moveaxis(refined, 0, 1).reshape(ext.shape[0], -1)[:, :n_frames_loc]
 
-    def fn(xb, nl_ov, nu_ov, *sc_args):
+    def fn(xb, nl_ov, nu_ov, *extra):
+        extra = list(extra)
+        sc_arg = extra.pop(0) if speed_curve is not None else None
+        len_b = inv_b = None
+        if lengths is not None:
+            len_b, inv_b = extra  # (B_local,), (B_local, 3)
         idx = jax.lax.axis_index("time")
         is_first = idx == 0
         is_last = idx == n_time - 1
@@ -524,12 +546,24 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
             mask = jnp.concatenate([
                 jnp.ones((Tl,), jnp.float32),
                 jnp.where(is_last, 1.0, 0.0)[None]])
-            limbs = quantized_log_sums(log_speed, center, mask=mask)
-            limbs = tuple(jax.lax.psum(l, "time") for l in limbs)
-            mean = exact_log_center(limbs, F_total, center)
+            if len_b is None:
+                limbs = quantized_log_sums(log_speed, center, mask=mask)
+                limbs = tuple(jax.lax.psum(l, "time") for l in limbs)
+                mean = exact_log_center(limbs, F_total, center)
+            else:
+                # mixed-length batch: the mean runs over each take's OWN
+                # frames (global frame index <= length//step) — the pad must
+                # not perturb the TraceLine centering (markers.py:190-192)
+                gframe = idx * Tl + jnp.arange(Tl + 1, dtype=jnp.int32)
+                valid = (gframe[None, :] <= (len_b // step)[:, None])
+                limbs = quantized_log_sums(
+                    log_speed, center, mask=mask[None, :] * valid)
+                limbs = tuple(jax.lax.psum(l, "time") for l in limbs)
+                mean = exact_log_center(limbs, F_total, center,
+                                        inv_limbs=inv_b)
             speeds = jnp.power(2.0, log_speed - mean[:, None])
         else:
-            speeds = sc_args[0][:, 0]  # (B_local, Tl+1)
+            speeds = sc_arg[:, 0]  # (B_local, Tl+1)
         if share_curve:
             # the reference's multi-channel export contract: every row (the
             # CHANNELS of one take on the files axis) resamples through row
@@ -569,6 +603,13 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
         right = _left_ppermute(xb[..., :Hr], "time", n_time)
         ext = jnp.concatenate([left, xb, right], axis=-1)  # (B, S + Hl + Hr)
         ext_len = S + Hl + Hr
+        if len_b is not None:
+            # sinc taps past a take's real end read ZERO (the dense tier's
+            # out-of-range convention) — rows carry reflect continuation for
+            # the tracker, so mask it out of the resampler's view.  Wrapped
+            # int32 subtraction keeps this exact past 2**31 samples.
+            gpos = (idx * S - Hl) + jnp.arange(ext_len, dtype=jnp.int32)
+            ext = jnp.where((gpos[None, :] - len_b[:, None]) < 0, ext, 0.0)
         L = max_n + 2 * U
         anchors = base_int - idx * S + Hl  # window anchors in ext coords
 
@@ -601,16 +642,19 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
     if speed_curve is not None:
         in_specs.append(P("files", "time", None))
         args.append(jnp.asarray(sc_ov))
+    if lengths is not None:
+        in_specs += [P("files"), P("files", None)]
+        args += [jnp.asarray(len_np), jnp.asarray(inv_np)]
     # jit the whole sharded step: besides dispatch cost, XLA's elementwise
     # simplifications (log2/exp2 fusion) must match the jitted dense tier's
     # ulp-for-ulp, or the centering mean drifts and flips dither roundings.
     # The compiled executable is CACHED per (mesh, static config) — a fresh
     # jit(shard_map(closure)) every call would retrace and recompile the
     # whole step each time (measured 5.9 s/call vs 60 ms warm).
-    key = (tuple(d.id for d in mesh.devices.flat), batch, total, n_fft, step,
+    key = (_mesh_key(mesh), batch, total, n_fft, step,
            zeropad, max_n, nt, drift, window_name, (lo, hi),
            speed_curve is not None, base_slack, chunk_frames, backend,
-           share_curve)
+           share_curve, lengths is not None)
     return _cached_exec(("fused",) + key, lambda: jax.jit(shard_map(
         fn, mesh=mesh,
         in_specs=tuple(in_specs),
@@ -618,6 +662,33 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
                    P("files", "time"), P("files", "time")),
         check_vma=False,
     )))(*args)
+
+
+def unwrap_base_int(base_int_np, base_frac_np=None):
+    """Host: unwrap the mod-2**32 ``base_int`` returned by
+    :func:`restore_fused_sharded` into true int64 sample positions.
+
+    On-device the global position cumsum runs in int32 and wraps past
+    ~2.1e9 samples (every DEVICE consumer takes small differences of
+    equally-wrapped values, which two's-complement arithmetic recovers —
+    see the restore_fused_sharded length contract).  A host consumer that
+    needs absolute positions (stitching, resume bookkeeping, cross-checks
+    against the float64 planner) reconstructs them by monotonicity: segment
+    advances are small positives (~hop), so the wrapped int32 difference of
+    consecutive entries IS the true delta, and an int64 prefix sum rebuilds
+    the positions.  Works on (T,) or (files, T) arrays; segment 0's base is
+    0 by construction (t0 = 0), so the first entry anchors the unwrap.
+    Returns int64 positions, or float64 ``base + frac`` when ``base_frac_np``
+    is given.  Reference anchor: the implicit int64 positions of the
+    float64 host planner, resampling.py:93-137."""
+    w = np.asarray(base_int_np).astype(np.int32)
+    d = np.diff(w, axis=-1)  # int32 wrapped deltas: exact for |true| < 2**31
+    first = w[..., :1].astype(np.int64)
+    pos = np.concatenate(
+        [first, first + np.cumsum(d.astype(np.int64), axis=-1)], axis=-1)
+    if base_frac_np is not None:
+        return pos.astype(np.float64) + np.asarray(base_frac_np, np.float64)
+    return pos
 
 
 def compact_padded_host(padded_np, n_np, n_out=None):

@@ -331,3 +331,37 @@ def test_write_file_output_format(tmp_path, rng):
     finally:
         audio_io.set_output_format("wav")
     assert audio_io.write_file(src, sig, 8000, suffix="_w").endswith("_w.wav")
+
+
+def test_flac_index_sidecar_same_size_replacement(tmp_path):
+    """A sidecar is keyed by a header fingerprint in addition to size: a
+    same-size replacement file (different STREAMINFO MD5) must invalidate
+    the cached frame index instead of reusing stale offsets."""
+    sr = 8000
+    t = np.arange(20000) / sr
+    a = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)[:, None]
+    b = (0.5 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)[:, None]
+    pa, pb = str(tmp_path / "x.flac"), str(tmp_path / "b.flac")
+    audio_io.write_flac(pa, a, sr)
+    audio_io.write_flac(pb, b, sr)
+    # pad the smaller container with trailing zeros so both have the SAME
+    # byte size (the reader stops at total_samples, so a padded tail is
+    # ignored); this forces the fingerprint to be the only discriminator
+    sa, sb = os.path.getsize(pa), os.path.getsize(pb)
+    size = max(sa, sb)
+    for p, s in ((pa, sa), (pb, sb)):
+        with open(p, "ab") as f:
+            f.write(b"\0" * (size - s))
+    with audio_io.StreamReader(pa) as r:
+        got_a = r.read(5000, 1000)
+    assert os.path.exists(pa + ".flacidx")
+    # same-size replacement: copy b's bytes over a's path
+    with open(pb, "rb") as f:
+        data = f.read()
+    with open(pa, "wb") as f:
+        f.write(data)
+    with audio_io.StreamReader(pa) as r:
+        got_b = r.read(5000, 1000)
+    full_b, _, _ = audio_io.read_file(pb)
+    np.testing.assert_array_equal(got_b, full_b[5000:6000])
+    assert not np.array_equal(got_a, got_b)

@@ -175,3 +175,68 @@ def test_doctor_gates_on_wrong_result(monkeypatch):
     assert rep["device"]["status"] == "wrong_result"
     assert rep["healthy"] is False
     assert rep["device"]["cpu_fallback"]["status"] == "ok"
+
+
+def test_cli_decompress(tmp_path, capsys):
+    """decompress: a compressed copy regains the reference's dynamics
+    (experiments/decompressor_cmd.py as a subcommand, VERDICT r03 #3)."""
+    sr = 22050
+    t = np.arange(3 * sr) / sr
+    env = 0.2 + 0.8 * (0.5 + 0.5 * np.sin(2 * np.pi * 0.7 * t)) ** 2
+    carrier = np.sin(2 * np.pi * 1000 * t)
+    ref = (env * carrier).astype(np.float32)
+    comp = (np.sign(ref) * np.abs(ref) ** 0.4 * 0.5).astype(np.float32)
+    pref, pcmp = tmp_path / "ref.wav", tmp_path / "comp.wav"
+    audio_io.write_wav(pref, ref, sr)
+    audio_io.write_wav(pcmp, comp, sr)
+    res = run_cli(capsys, "decompress", str(pcmp), str(pref))
+    out, osr, _ = audio_io.read_file(res["outputs"][0])
+    assert osr == sr
+
+    def env_ratio(x):
+        x = x[:, 0] if x.ndim == 2 else x
+        w = sr // 4
+        rms = np.sqrt(np.convolve(x ** 2, np.ones(w) / w, mode="valid"))
+        return rms.max() / max(rms.min(), 1e-9)
+
+    # dynamics restored: the output's envelope ratio moves toward the
+    # reference's and away from the compressed input's
+    r_ref, r_cmp, r_out = env_ratio(ref), env_ratio(comp), env_ratio(out)
+    assert abs(np.log(r_out / r_ref)) < abs(np.log(r_cmp / r_ref)) / 2
+
+
+def test_cli_group_delay(tmp_path, capsys, rng):
+    """group-delay: a pure delay between takes is reported per band."""
+    sr = 16000
+    n = 4 * sr
+    base = rng.standard_normal(n + 100).astype(np.float32)
+    ref = base[:n]
+    src = base[50:50 + n]  # src lags ref by 50 samples
+    pref, psrc = tmp_path / "r.wav", tmp_path / "s.wav"
+    audio_io.write_wav(pref, ref, sr)
+    audio_io.write_wav(psrc, src, sr)
+    res = run_cli(capsys, "group-delay", str(pref), str(psrc),
+                  "--lower", "100", "--upper", "2000", "--bandwidth", "200")
+    assert res["sr"] == sr and len(res["bands"]) >= 3
+    lags = [b["lag_samples"] for b in res["bands"]]
+    assert all(abs(abs(l) - 50) < 3 for l in lags), lags
+    assert len({np.sign(l) for l in lags}) == 1  # consistent sign across bands
+
+
+def test_cli_cyclic_wow(tmp_path, capsys):
+    """cyclic-wow: a synthetic 45 rpm once-per-rotation wobble is measured."""
+    sr = 22050
+    rpm_true = 44.0
+    dur = 12.0
+    t = np.arange(int(dur * sr)) / sr
+    speed = 1.0 + 0.01 * np.sin(2 * np.pi * (rpm_true / 60.0) * t)
+    sig = (0.5 * np.sin(2 * np.pi * 700 * np.cumsum(speed) / sr)).astype(np.float32)
+    p = tmp_path / "rec.wav"
+    audio_io.write_wav(p, sig, sr)
+    curve_out = str(tmp_path / "cycle.txt")
+    res = run_cli(capsys, "cyclic-wow", str(p), "--rpm", "45",
+                  "--curve-out", curve_out)
+    assert abs(res["actual_rpm"] - rpm_true) < 1.0, res
+    assert 0.1 < res["wow_depth_semitones"] < 1.0
+    curve = np.loadtxt(curve_out)
+    assert len(curve) == res["frames_per_rotation"]

@@ -250,3 +250,59 @@ def test_plan_bit_deterministic_across_enclosing_programs():
     rb = [np.asarray(v) for v in prog(jnp.asarray(sig), "b")]
     for name, a, b in zip(("speeds", "n", "base_int", "base_frac"), ra, rb):
         assert np.array_equal(a, b), f"plan {name} differs across programs"
+
+
+def test_restore_fused_takes_mixed_lengths_bitexact_vs_solo():
+    """A MIXED-LENGTH batch with ``lengths`` restores each take bit-identically
+    to its solo ``restore_fused_device`` run (VERDICT r03 #2): the padded tail
+    must not perturb the take's TraceLine centering mean (markers.py:190-192),
+    its boundary tracking frames, or its final sinc taps."""
+    from pyaudiorestoration_tpu.pipelines import respeeder_device as rdev
+
+    sr = 8192
+    n_fft, step, zp = 512, 128, 1
+    f0 = 1024.0
+    f0_bin = int(round(f0 * n_fft * zp / sr))
+    band = (f0_bin - 6, f0_bin + 7)
+    max_n = int(step * 1.25)
+
+    def take(n, rate, ph=0.0):
+        t = np.arange(n) / sr
+        speed = 1.0 + 0.012 * np.sin(2 * np.pi * rate * t + ph)
+        return np.sin(2 * np.pi * f0 * np.cumsum(speed) / sr).astype(np.float32)
+
+    # deliberately awkward lengths: one not a multiple of step, one full
+    lengths = [3 * sr + 77, 2 * sr, 4 * sr]
+    N = max(lengths)
+    takes = [take(L, 1.0 + 0.7 * i, 0.3 * i) for i, L in enumerate(lengths)]
+    xb = np.zeros((len(takes), N), np.float32)
+    for i, s in enumerate(takes):
+        xb[i, :len(s)] = s
+    F = N // step + 1
+    NL = jnp.full((len(takes), F), band[0] + 2, jnp.int32)
+    NU = jnp.full((len(takes), F), band[1] - 2, jnp.int32)
+
+    batch = np.asarray(rdev.restore_fused_takes(
+        jnp.asarray(xb), NL, NU, n_fft, step, zp, max_n, 16, 16, band=band,
+        lengths=np.asarray(lengths)))
+    for i, (L, sig) in enumerate(zip(lengths, takes)):
+        F_i = L // step + 1
+        solo = np.asarray(rdev.restore_fused_device(
+            jnp.asarray(sig), NL[i, :F_i], NU[i, :F_i], n_fft, step, zp,
+            max_n, 16, 16, band=band))
+        T_i = solo.shape[0]           # L // step segments
+        got = batch[i, :T_i]
+        assert np.array_equal(got, solo), (
+            f"take {i} (len {L}): batched-with-lengths output differs from "
+            f"solo dense restore (max abs diff "
+            f"{np.max(np.abs(got - solo)):.3e})")
+
+    # and without lengths, the padded tail DOES perturb the curve (the bug
+    # this feature fixes) — guard that the test would catch a regression
+    plain = np.asarray(rdev.restore_fused_takes(
+        jnp.asarray(xb), NL, NU, n_fft, step, zp, max_n, 16, 16, band=band))
+    solo0 = np.asarray(rdev.restore_fused_device(
+        jnp.asarray(takes[0]), NL[0, :lengths[0] // step + 1],
+        NU[0, :lengths[0] // step + 1], n_fft, step, zp, max_n, 16, 16,
+        band=band))
+    assert not np.array_equal(plain[0, :solo0.shape[0]], solo0)

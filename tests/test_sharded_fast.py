@@ -359,3 +359,85 @@ def test_sharded_fast_bitexact_at_non_block_multiple_shards():
         jnp.asarray(x[0]), jnp.asarray(NL), jnp.asarray(NU), NFFT, STEP, ZP,
         MAX_N, NT, DRIFT, band=BAND))
     assert np.array_equal(pad_s[0], pad_d)
+
+
+def test_fused_exec_cache_keyed_by_mesh_factorization():
+    """Two meshes over the SAME 8 devices with equal (batch, total, config)
+    but different (files, time) factorizations must not share a compiled
+    executable (round-3 ADVICE: the old key held only flat device ids, so a
+    2x4 call silently reused the 4x2 geometry)."""
+    Tl = 1024
+    n = Tl * STEP * 4            # 4096 segments per file
+    x = np.stack([_wobble_take(n, 0.01, (1.1 + 0.3 * i,), 0.2 * i)
+                  for i in range(4)])
+    NL, NU = _bands(n)
+    dense = [np.asarray(rdev.restore_fused_device(
+        jnp.asarray(x[i]), jnp.asarray(NL), jnp.asarray(NU), NFFT, STEP, ZP,
+        MAX_N, NT, DRIFT, band=BAND)) for i in range(4)]
+    for n_files, n_time in ((2, 4), (4, 2)):
+        mesh = _mesh(n_files, n_time)
+        xs = pmesh.shard_time_batch(mesh, x)
+        pad_s = np.asarray(sharded.restore_fused_sharded(
+            mesh, xs, NL, NU, NFFT, STEP, ZP, MAX_N, NT, DRIFT,
+            band=BAND)[0])
+        for i in range(4):
+            assert np.array_equal(pad_s[i], dense[i]), (
+                f"mesh ({n_files}x{n_time}) file {i} drifted — fused exec "
+                "cache collided across mesh factorizations")
+
+
+def test_sharded_fast_mixed_lengths_bitexact_vs_solo():
+    """Mixed-length batch on the mesh with ``lengths``: each take's valid
+    segments are BIT-IDENTICAL to its solo dense restore (VERDICT r03 #2 —
+    the padded tail must not perturb the TraceLine centering mean).  Rows
+    carry the solo reflect continuation (the load_batch(reflect_tail=n_fft)
+    contract); one take ends EXACTLY at a shard boundary to pin the corner
+    where the boundary frame's window spans the pad."""
+    n_time, n_files, Tl = 4, 2, 1024
+    S = Tl * STEP
+    total = S * n_time
+    lengths = [3 * S + 77, 2 * S]        # odd remainder + exact shard edge
+    takes = [_wobble_take(L, 0.011, (1.2 + 0.5 * i,), 0.4 * i)
+             for i, L in enumerate(lengths)]
+    x = np.zeros((n_files, total), np.float32)
+    for i, (L, s) in enumerate(zip(lengths, takes)):
+        x[i, :L] = s
+        k = min(total - L, NFFT, L - 1)
+        x[i, L:L + k] = s[L - 2:L - 2 - k:-1]
+    NL, NU = _bands(total)
+    mesh = _mesh(n_files, n_time)
+    xs = pmesh.shard_time_batch(mesh, x)
+    pad_s, nn_s, _, _ = (np.asarray(a) for a in sharded.restore_fused_sharded(
+        mesh, xs, NL, NU, NFFT, STEP, ZP, MAX_N, NT, DRIFT, band=BAND,
+        lengths=lengths))
+    for i, (L, sig) in enumerate(zip(lengths, takes)):
+        F_i = L // STEP + 1
+        solo = np.asarray(rdev.restore_fused_device(
+            jnp.asarray(sig), jnp.asarray(NL[:F_i]), jnp.asarray(NU[:F_i]),
+            NFFT, STEP, ZP, MAX_N, NT, DRIFT, band=BAND))
+        T_i = solo.shape[0]
+        assert np.array_equal(pad_s[i, :T_i], solo), (
+            f"take {i} (len {L}): sharded masked restore drifted from solo "
+            f"(max abs diff {np.max(np.abs(pad_s[i, :T_i] - solo)):.3e})")
+
+
+def test_unwrap_base_int_past_int32_wrap():
+    """The host unwrap of the sharded tier's mod-2**32 base positions
+    (VERDICT r03 #5): a synthetic plan whose true int64 positions cross both
+    2**31 and 2**32 round-trips exactly through the wrapped representation."""
+    rng = np.random.default_rng(7)
+    # ~70M segments of ~64-sample advances -> crosses 2**32 ~ 4.3e9
+    adv = rng.integers(0, 130, size=70_000_000).astype(np.int64)
+    true = np.concatenate([[0], np.cumsum(adv)])
+    assert true[-1] > (1 << 32)
+    wrapped = true.astype(np.int64).astype(np.uint32).view(np.int32)
+    got = sharded.unwrap_base_int(wrapped)
+    assert got.dtype == np.int64
+    np.testing.assert_array_equal(got, true)
+    # 2D (files, T) and the frac-combining form
+    w2 = np.stack([wrapped[:1000], wrapped[1000:2000]])
+    t2 = np.stack([true[:1000], true[1000:2000]])
+    np.testing.assert_array_equal(sharded.unwrap_base_int(w2), t2)
+    frac = rng.random((2, 1000))
+    np.testing.assert_allclose(sharded.unwrap_base_int(w2, frac),
+                               t2.astype(np.float64) + frac)

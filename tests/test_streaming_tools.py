@@ -416,3 +416,62 @@ def test_streamed_export_honours_flac_output(tmp_path):
     b, srb, _ = audio_io.read_file(out_flac)
     assert sra == srb and a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=1.5 / (1 << 23))
+
+
+def test_streamed_restore_checkpoint_rejects_replaced_input(tmp_path):
+    """A checkpoint left by a crashed run must NOT be resumed when the input
+    file has been replaced by a different file with identical geometry (the
+    key includes size + mtime, not just frame counts) — round-3 ADVICE."""
+    import os
+    import time
+
+    from pyaudiorestoration_tpu.pipelines import respeeder_device as rdev
+
+    sr = 16000
+    n = 6 * sr
+    t = np.arange(n) / sr
+
+    def take(rate):
+        speed = 1.0 + 0.01 * np.sin(2 * np.pi * rate * t)
+        return np.sin(2 * np.pi * 1000 * np.cumsum(speed) / sr).astype(np.float32)
+
+    p = str(tmp_path / "swap.wav")
+    kw = dict(fft_size=1024, fft_overlap=8, zeropad=2, sinc_quality=16)
+
+    audio_io.write_wav(p, take(1.5)[:, None], sr)
+
+    class Boom(Exception):
+        pass
+
+    orig_write = audio_io.StreamWriter.write
+    audio_io.StreamWriter.write = lambda self, block: (_ for _ in ()).throw(Boom())
+    try:
+        with pytest.raises(Boom):
+            rdev.restore_file_streamed(p, **kw)
+    finally:
+        audio_io.StreamWriter.write = orig_write
+    ckpt = str(tmp_path / "swap_res.speeds.npz")
+    assert os.path.exists(ckpt)
+
+    # replace the input with a DIFFERENT take of identical geometry; ensure
+    # the mtime actually changes even on coarse filesystem clocks
+    audio_io.write_wav(p, take(3.1)[:, None], sr)
+    os.utime(p, ns=(time.time_ns() + 10**9, time.time_ns() + 10**9))
+
+    tracked = {}
+    orig_track = rdev.track_peaks_span
+
+    def spy(*a, **k):
+        tracked["ran"] = True
+        return orig_track(*a, **k)
+
+    rdev.track_peaks_span = spy
+    try:
+        out = rdev.restore_file_streamed(p, **kw)
+    finally:
+        rdev.track_peaks_span = orig_track
+    assert tracked.get("ran"), "stale checkpoint was resumed for a replaced input"
+    ref = rdev.restore_file_streamed(p, suffix="_ref", **kw)
+    a, _, _ = audio_io.read_file(out)
+    b, _, _ = audio_io.read_file(ref)
+    np.testing.assert_allclose(a, b, atol=1e-6)
