@@ -128,6 +128,8 @@ def build_parser():
     sp.add_argument("--bottom-freedom", type=float, default=2.0)
     sp.add_argument("--f-lower", type=float, default=3000.0)
     sp.add_argument("--f-upper", type=float, default=12000.0)
+    sp.add_argument("--stream", action="store_true",
+                    help="force the blockwise larger-than-memory path")
 
     sp = sub.add_parser("difeq", help="differential EQ (difeq)")
     sp.add_argument("source")

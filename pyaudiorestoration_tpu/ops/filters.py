@@ -80,6 +80,135 @@ def _sos_section_scan(x, b0, b1, b2, a1, a2, zi):
     return b0 * x + s_prev[..., 0]
 
 
+# ---------------------------------------------------------------------------
+# Parity-grade device IIR via ITERATIVE REFINEMENT (float64-less hardware):
+# run the cheap f32 associative scan, evaluate the recurrence's RESIDUAL
+# with error-free transforms (Knuth two-sum, Dekker two-prod — elementwise,
+# no scan), then solve the defect recurrence d_n = A d_{n-1} + r_n with the
+# SAME f32 scan and add the correction.  Each pass multiplies the error by
+# ~2**-24 of the defect, so two passes reach the f32-representation floor
+# (>100 dB to scipy's float64 sosfiltfilt on narrowband cascades — the
+# plain scan bottoms out near 55 dB).  Unlike a full double-float scan
+# (whose 12-leaf compensated combine blew XLA compile time 40x), this
+# reuses the plain scan's compiled structure: ~3x compile, ~3x VPU work.
+# Coefficients enter the residual as (hi, lo) float32 pairs of their
+# float64 values, so the refined target IS the float64-coefficient filter.
+# ---------------------------------------------------------------------------
+
+
+def _two_sum(a, b):
+    s = a + b
+    v = s - a
+    return s, (a - (s - v)) + (b - v)
+
+
+def _split(a):
+    c = a * 4097.0  # 2**12 + 1 splits a 24-bit mantissa into 12+12
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
+
+
+def _df_const(v):
+    """Host: python/f64 scalar -> exact (hi, lo) float32 pair.
+
+    Returned as np.float32 scalars, NOT python floats: a python float fed
+    to :func:`_two_prod` would run the Dekker split in host f64 arithmetic,
+    where the split degenerates (hi == a, lo == 0) and the error term is
+    silently wrong."""
+    hi = np.float32(v)
+    return hi, np.float32(np.float64(v) - np.float64(hi))
+
+
+def _state_scan(a1h, a2h, c0, c1, zi):
+    """f32 associative scan of s_n = A s_{n-1} + c_n over the last axis.
+
+    A = [[-a1, 1], [-a2, 0]] (DF2T), c_n given per component.  Returns the
+    state components s0, s1, each shaped like c0."""
+    A = jnp.array([[-a1h, 1.0], [-a2h, 0.0]], dtype=c0.dtype)
+    cs = jnp.stack([c0, c1], axis=-1)[..., None]  # (..., n, 2, 1)
+    As = jnp.broadcast_to(A, cs.shape[:-2] + (2, 2))
+    hi = jax.lax.Precision.HIGHEST
+
+    def combine(left, right):
+        A1, c1_ = left
+        A2, c2_ = right
+        return (jnp.matmul(A2, A1, precision=hi),
+                jnp.matmul(A2, c1_, precision=hi) + c2_)
+
+    M, c = jax.lax.associative_scan(combine, (As, cs), axis=-3)
+    s = (jnp.matmul(M, zi[..., None, :, None], precision=hi) + c)[..., 0]
+    return s[..., 0], s[..., 1]
+
+
+def _sos_section_scan_df(x, b0, b1, b2, a1, a2, zi, passes: int = 2):
+    """One biquad over the last axis, refined to float64-coefficient parity.
+
+    Same DF2T recurrence as :func:`_sos_section_scan`; ``b*, a*`` are
+    float64 host scalars, ``zi``: (..., 2) float32 initial conditions
+    (already x0-scaled).  Returns float32 y."""
+    f64 = np.float64
+    a1h, a1l = _df_const(f64(a1))
+    a2h, a2l = _df_const(f64(a2))
+    B0h, B0l = _df_const(f64(b1) - f64(a1) * f64(b0))
+    B1h, B1l = _df_const(f64(b2) - f64(a2) * f64(b0))
+    b0h, b0l = _df_const(f64(b0))
+
+    z0 = zi[..., 0:1]
+    z1 = zi[..., 1:2]
+    zeros = jnp.zeros_like(x)
+
+    # pass 0: plain f32 scan (c rounding lands in the first residual)
+    s0h, s1h = _state_scan(a1h, a2h, B0h * x, B1h * x, zi)
+    s0l = s1l = zeros
+
+    def prev(s, z):
+        return jnp.concatenate([z, s[..., :-1]], axis=-1)
+
+    for _ in range(passes):
+        # residual of the float64-coefficient recurrence at the current
+        # (hi, lo) state estimate, via error-free transforms (elementwise):
+        #   r_n = A s~_{n-1} + B x_n - s~_n
+        p0h, p0l = prev(s0h, z0), prev(s0l, jnp.zeros_like(z0))
+        p1h, p1l = prev(s1h, z1), prev(s1l, jnp.zeros_like(z1))
+
+        def residual(ah, al, ph, pl, Bh, Bl, sh, sl, extra_h=None,
+                     extra_l=None):
+            # t1 = a * s~_prev0, t2 = extra (s~_prev1 or 0), t3 = B * x
+            t1h, t1e = _two_prod(ah, ph)
+            t1e = t1e + (ah * pl + al * ph)
+            t3h, t3e = _two_prod(Bh, x)
+            t3e = t3e + Bl * x
+            u, eu = _two_sum(t1h, t3h)
+            if extra_h is not None:
+                u2, e2 = _two_sum(u, extra_h)
+                t1e = t1e + e2 + extra_l
+                u = u2
+            w, ew = _two_sum(u, -sh)
+            return w + (eu + ew + t1e + t3e - sl)
+
+        r0 = residual(-a1h, -a1l, p0h, p0l, B0h, B0l, s0h, s0l,
+                      extra_h=p1h, extra_l=p1l)
+        r1 = residual(-a2h, -a2l, p0h, p0l, B1h, B1l, s1h, s1l)
+        d0, d1 = _state_scan(a1h, a2h, r0, r1,
+                             jnp.zeros_like(zi))
+        # fold the correction into the (hi, lo) state representation
+        s0h, s0l = _two_sum(s0h, s0l + d0)
+        s1h, s1l = _two_sum(s1h, s1l + d1)
+
+    # y_n = b0 x_n + s0~_{n-1}, compensated final combine
+    yh, ye = _two_prod(b0h, x)
+    ye = ye + b0l * x
+    sh, se = _two_sum(yh, prev(s0h, z0))
+    return sh + (se + ye + prev(s0l, jnp.zeros_like(z0)))
+
+
 def sosfilt(sos, x, zi=None):
     """Cascaded biquad filtering along the last axis (associative-scan based).
 
@@ -97,8 +226,9 @@ def sosfilt(sos, x, zi=None):
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("sos_tuple", "zi_tuple", "padlen"))
-def _sosfiltfilt_device(x, sos_tuple, zi_tuple, padlen: int):
+@functools.partial(jax.jit, static_argnames=("sos_tuple", "zi_tuple", "padlen",
+                                              "passes"))
+def _sosfiltfilt_device(x, sos_tuple, zi_tuple, padlen: int, passes: int = 0):
     sos_arr = np.asarray(sos_tuple, dtype=np.float64).reshape(-1, 6)
     zi_arr = np.asarray(zi_tuple, dtype=np.float32).reshape(-1, 2)
     n = x.shape[-1]
@@ -114,8 +244,12 @@ def _sosfiltfilt_device(x, sos_tuple, zi_tuple, padlen: int):
         s = sig
         for k in range(sos_arr.shape[0]):
             b0, b1, b2, _, a1, a2 = [float(v) for v in np.asarray(sos_arr)[k]]
-            s = _sos_section_scan(s, b0, b1, b2, a1, a2,
-                                  jnp.asarray(zi_arr[k]) * x0[..., None])
+            zi_k = jnp.asarray(zi_arr[k]) * x0[..., None]
+            if passes:
+                s = _sos_section_scan_df(s, b0, b1, b2, a1, a2, zi_k,
+                                         passes=passes)
+            else:
+                s = _sos_section_scan(s, b0, b1, b2, a1, a2, zi_k)
         return s
 
     fwd = run(ext)
@@ -123,8 +257,34 @@ def _sosfiltfilt_device(x, sos_tuple, zi_tuple, padlen: int):
     return bwd[..., padlen:padlen + n]
 
 
-def sosfiltfilt(sos, x, padlen=None):
-    """Zero-phase forward-backward filter (device, scan-based)."""
+def _refinement_passes(sos, n):
+    """How many refinement passes reach ~105 dB parity with scipy's float64
+    ``sosfiltfilt`` for this cascade.
+
+    Empirical model (measured on order-3 Butterworth band-passes, broadband
+    input): the plain f32 scan's SNR — which is also the per-pass gain of
+    the defect refinement — fits ``58*log10(1 - r_max) + 186`` dB from
+    BELOW within ~4 dB over the measured 16..134 dB range, where r_max is
+    the largest pole radius of the cascade.  An extra
+    ``10*log10(n / 2**17)`` guards long inputs (prefix error grows
+    ~sqrt(n))."""
+    sos = np.asarray(sos, np.float64)
+    r2 = np.abs(sos[:, 5])  # |a2| = r^2 for a complex pole pair
+    one_minus_r = max(1.0 - float(np.sqrt(r2.max(initial=0.0))), 1e-9)
+    per_pass = 58.0 * np.log10(one_minus_r) + 186.0
+    per_pass -= 10.0 * np.log10(max(n, 1 << 17) / float(1 << 17))
+    per_pass = max(per_pass, 8.0)
+    return int(np.clip(np.ceil(105.0 / per_pass), 1, 10))
+
+
+def sosfiltfilt(sos, x, padlen=None, compensated=True):
+    """Zero-phase forward-backward filter (device, scan-based).
+
+    ``compensated=True`` (default) adds error-free-transform defect
+    refinement passes (count auto-sized from the cascade's pole radii) so
+    the result matches scipy's float64 ``sosfiltfilt`` to >100 dB on
+    float64-less hardware.  ``False`` keeps the single plain f32 scan
+    (~38-55 dB on narrowband cascades, proportionally fewer VPU ops)."""
     sos = np.asarray(sos, dtype=np.float64)
     x = jnp.asarray(x, jnp.float32)
     if padlen is None:
@@ -134,9 +294,10 @@ def sosfiltfilt(sos, x, padlen=None):
         padlen = 3 * int(ntaps)
     padlen = min(padlen, x.shape[-1] - 1)
     zi = _dsp.sosfilt_zi(sos)  # (n_sections, 2), scaled by the input's x0 at runtime
+    passes = _refinement_passes(sos, x.shape[-1]) if compensated else 0
     return _sosfiltfilt_device(
         x, tuple(sos.reshape(-1).tolist()), tuple(zi.reshape(-1).astype(np.float32).tolist()),
-        int(padlen))
+        int(padlen), passes)
 
 
 def _sosfiltfilt_host_zi(sos, x):

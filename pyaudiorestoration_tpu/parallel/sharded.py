@@ -431,10 +431,9 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
     masking requires lengths < 2**31 (the dense tier's own bound).
     """
     from ..pipelines.respeeder_device import (
-        _banded_dft_matrix, exact_log_center, inv_count_limbs,
+        banded_refined_chunk, exact_log_center, inv_count_limbs,
         log_center_for_band, quantized_log_sums, segment_advances,
         segment_grids, sinc_shift_mac)
-    from ..models.trackers import masked_peak_refine
 
     n_time = mesh.shape["time"]
     batch, total = x.shape
@@ -455,7 +454,6 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
     Hl = U + base_slack
     Hr = (max_n - step) + U + base_slack
     assert Hl <= S and Hr <= S, "halos must fit one neighbor shard"
-    window = jnp.asarray(get_window(window_name, n_fft))
     num_bins = n_fft * zeropad // 2 + 1
     NL = np.asarray(NL, np.int32)
     NU = np.asarray(NU, np.int32)
@@ -464,8 +462,6 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
         band = (max(0, int(NL.min()) - 1), min(num_bins, int(NU.max()) + 1))
     lo, hi = int(band[0]), int(band[1])
     center = log_center_for_band((lo, hi))
-    dft = jnp.asarray(_banded_dft_matrix(n_fft, zeropad, lo, hi))
-    nb = hi - lo
     # per-shard overlapping frame windows: shard d owns frames
     # [d*Tl, d*Tl + Tl] inclusive (one-frame overlap with the right neighbor;
     # the duplicate is recomputed locally, bit-identical from the same halo)
@@ -509,14 +505,12 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
             c, nlc, nuc = args
             xs = jax.lax.dynamic_slice_in_dim(extp, c * chunk_frames * step,
                                               span, axis=-1)
-            blocks = xs.reshape(*xs.shape[:-1], -1, step)
-            frames = jnp.concatenate(
-                [blocks[..., j:j + chunk_frames, :] for j in range(ratio)],
-                axis=-1) * window
-            ri = jnp.dot(frames, dft, precision=jax.lax.Precision.HIGHEST)
-            mag = jnp.sqrt(ri[..., :nb] ** 2 + ri[..., nb:] ** 2) + 1e-7
-            return masked_peak_refine(mag, nlc - lo, nuc - lo,
-                                      bin_offset=float(lo))
+            # the same banded-DFT chunk kernel as the dense tier
+            # (respeeder_device.banded_refined_chunk) — shared code so the
+            # tiers cannot drift (its docstring explains why this exact
+            # formulation is what keeps dense/sharded bit-identical)
+            return banded_refined_chunk(xs, nlc, nuc, n_fft, step, zeropad,
+                                        window_name, (lo, hi), chunk_frames)
 
         refined = jax.lax.map(one_chunk, (
             jnp.arange(n_chunks),

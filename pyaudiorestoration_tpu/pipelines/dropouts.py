@@ -28,6 +28,30 @@ __all__ = ["detect_dropouts", "heal", "heal_file", "process_heuristic",
            "process_heuristic_streamed", "process_max_mono"]
 
 
+def _upsample_linear_exact(rows, n: int):
+    """(B, T) frame-rate gain curves -> (B, n) sample rate, matching the
+    float64 ``np.interp(linspace(0,1,n), linspace(0,1,T), row)`` to ~2**-24.
+
+    Sample positions are computed in df32 index arithmetic (error-free
+    two_prod of the integer sample index with the (hi, lo) split of
+    (T-1)/(n-1)), so placement error is ~2**-47 per position.  A plain f32
+    ``linspace(0, 1, n)`` quantizes coordinates at 2**-24 ABSOLUTE — about
+    1% of a frame step at n~2**18 — which moved steep heal ramps enough to
+    cap device/host parity at ~65 dB.  Requires n < 2**24 (larger files
+    take the streamed heuristic path, which interpolates on host in f64)."""
+    from ..ops.filters import _df_const, _two_prod, _two_sum
+
+    T = rows.shape[-1]
+    i = jnp.arange(n, dtype=jnp.float32)
+    qh, ql = _df_const(np.float64(T - 1) / np.float64(n - 1))
+    ph, pe = _two_prod(i, qh)
+    s, e = _two_sum(ph, pe + i * ql)
+    k = jnp.clip(jnp.floor(s).astype(jnp.int32), 0, T - 2)
+    frac = (s - k.astype(jnp.float32)) + e
+    f0 = rows[..., k]
+    return f0 + frac * (rows[..., k + 1] - f0)
+
+
 def _time_2_frame(t, sr, hop):
     return int(t * sr / hop)
 
@@ -366,7 +390,7 @@ def process_heuristic_streamed(file_path, fft_size=1024, fft_overlap=4,
                     wv = np.stack([np.interp(xs, x_old, fac_all[c, bi] - 1.0)
                                    for c in range(C)])
                     sig = sig + np.asarray(filters.butter_bandpass_filter(
-                        sig * wv, fl, fu, sr, order=3, backend="host"))
+                        sig * wv, fl, fu, sr, order=3))
                 w.write(sig[:, s0 - lo:s1 - lo].T.astype(np.float32))
     import logging
 
@@ -435,10 +459,8 @@ def process_heuristic(file_path, fft_size=1024, fft_overlap=4, max_width=0.02,
         # dropouts_gui.py:241-323's shape)
         sig_dev = jnp.asarray(signal.T)  # (C, n)
         fac_dev = jnp.asarray((fac_all - 1.0).astype(np.float32))
-        x_new = jnp.linspace(0.0, 1.0, n)
-        x_old = jnp.linspace(0.0, 1.0, T)
         for b, (f_lower_band, f_upper_band) in enumerate(band_pairs):
-            w = jax.vmap(lambda row: jnp.interp(x_new, x_old, row))(fac_dev[:, b])
+            w = _upsample_linear_exact(fac_dev[:, b], n)
             vol_corr = sig_dev * w
             sig_dev = sig_dev + filters.butter_bandpass_filter(
                 vol_corr, f_lower_band, f_upper_band, sr, order=3)

@@ -151,6 +151,41 @@ def _banded_dft_matrix(n_fft: int, zeropad: int, lo: int, hi: int) -> np.ndarray
     return np.concatenate([np.cos(ang), np.sin(ang)], axis=1).astype(np.float32) * scale
 
 
+def banded_refined_chunk(xs, nl, nu, n_fft: int, step: int, zeropad: int,
+                         window_name: str, band, chunk: int):
+    """Shared banded-DFT peak refinement over one chunk of frames.
+
+    ``xs``: (..., span) raw samples — frame p of the chunk starts at
+    ``xs[..., p*step]``.  ``nl``/``nu``: (..., chunk) absolute bin limits.
+    One function body serves the dense, batched-takes, and sharded tiers so
+    their tracking cannot drift.
+
+    The formulation (window multiply feeding a (chunk, n_fft) x
+    (n_fft, 2*nb) dot) is LOAD-BEARING for the bit-parity architecture: a
+    frame's value depends only on its own window samples, and this exact
+    producer+dot shape is the one whose compiled reduction order measures
+    RANK-INVARIANT (dense rank-2 vs sharded/batched rank-3 agree bit-for-
+    bit).  MXU group-packing (G frames per row, window folded into a
+    block-shifted matrix — a ~2.4x lane-utilization win) was implemented
+    and REJECTED in round 4: without the elementwise producer XLA lowers
+    the dot through library GEMMs whose K-reduction order varies with rank
+    AND with the flattened row count (measured: same data, rank-2 vs
+    rank-3, 5e-7 disagreements), which flips plan dither roundings and
+    breaks the dense/sharded bit-exact contract.  See docs/BENCHMARKS.md
+    round 4."""
+    lo, hi = int(band[0]), int(band[1])
+    nb = hi - lo
+    window = jnp.asarray(get_window(window_name, n_fft))
+    dft = jnp.asarray(_banded_dft_matrix(n_fft, zeropad, lo, hi))
+    ratio = n_fft // step
+    blocks = xs.reshape(*xs.shape[:-1], -1, step)
+    frames = jnp.concatenate(
+        [blocks[..., j:j + chunk, :] for j in range(ratio)], axis=-1) * window
+    ri = jnp.dot(frames, dft, precision=jax.lax.Precision.HIGHEST)
+    mag = jnp.sqrt(ri[..., :nb] ** 2 + ri[..., nb:] ** 2) + 1e-7
+    return masked_peak_refine(mag, nl - lo, nu - lo, bin_offset=float(lo))
+
+
 @functools.partial(jax.jit, static_argnames=("n_frames", "n_fft", "step",
                                               "zeropad", "window_name",
                                               "chunk_frames", "band"))
@@ -188,26 +223,25 @@ def track_peaks_span(xp, NL, NU, n_frames: int, n_fft: int, step: int,
     if band is not None:
         lo = max(0, int(band[0]))
         hi = min(num_bins, int(band[1]))
-        dft = jnp.asarray(_banded_dft_matrix(n_fft, zeropad, lo, hi))
         nb = hi - lo
     else:
         lo, nb = 0, num_bins
     NLp = jnp.pad(NL, (0, pad_t), constant_values=lo + 1)
     NUp = jnp.pad(NU, (0, pad_t), constant_values=lo + 2)
-    bins = jnp.arange(lo, lo + nb)
 
     def one_chunk(args):
         c, nl, nu = args
         xs = jax.lax.dynamic_slice(xp2, (c * chunk_frames * step,), (span,))
+        if band is not None:
+            # shared banded-DFT chunk kernel (same body as the sharded tier)
+            return banded_refined_chunk(xs, nl, nu, n_fft, step, zeropad,
+                                        window_name, (lo, lo + nb),
+                                        chunk_frames)
         blocks = xs.reshape(-1, step)
         frames = jnp.concatenate(
             [blocks[j:j + chunk_frames] for j in range(ratio)], axis=1) * window
-        if band is not None:
-            ri = jnp.dot(frames, dft, precision=jax.lax.Precision.HIGHEST)
-            mag = jnp.sqrt(ri[:, :nb] ** 2 + ri[:, nb:] ** 2) + 1e-7
-        else:
-            spec = jnp.fft.rfft(frames, n=n_fft * zeropad, axis=-1) / np.sqrt(n_fft)
-            mag = jnp.abs(spec) + 1e-7  # (chunk, F)
+        spec = jnp.fft.rfft(frames, n=n_fft * zeropad, axis=-1) / np.sqrt(n_fft)
+        mag = jnp.abs(spec) + 1e-7  # (chunk, F)
         # nl/nu are absolute bins; mag's F axis is band-local (offset lo)
         return masked_peak_refine(mag, nl - lo, nu - lo, bin_offset=float(lo))
 

@@ -69,10 +69,10 @@ def correlate_sources(ref_signal, src_signal, sr, t0, t1, delay, lower, upper,
     else:
         src_sig = get_signal_around(src_signal, sr, t_center - delay, t_width)
     n = min(len(ref_sig), len(src_sig))
-    a = np.asarray(filters.butter_bandpass_filter(ref_sig[:n], lower, upper, sr, order=3,
-                                                  backend="host"))
-    b = np.asarray(filters.butter_bandpass_filter(src_sig[:n], lower, upper, sr, order=3,
-                                                  backend="host"))
+    # device scan IIR with defect refinement (>100 dB to scipy float64,
+    # ops/filters.py) — the host fallback is no longer needed here
+    a = np.asarray(filters.butter_bandpass_filter(ref_sig[:n], lower, upper, sr, order=3))
+    b = np.asarray(filters.butter_bandpass_filter(src_sig[:n], lower, upper, sr, order=3))
     sample_delay, corr = correlation.find_delay(a, b, ignore_phase=ignore_phase,
                                                 window_name=window_name)
     return float(sample_delay) / sr * speed, float(corr)
@@ -232,10 +232,11 @@ def auto_align(ref_signal, src_signal, sr, num_windows=8, window_s=1.0,
 
 
 def _dsp_bandpass_rows(rows, lower, upper, sr):
-    """Band-pass a (batch, n) stack along the last axis (scipy float64,
-    exact reference parity, one call for the whole batch)."""
+    """Band-pass a (batch, n) stack along the last axis (device scan IIR
+    with defect refinement — >100 dB to the scipy float64 oracle — one call
+    for the whole batch)."""
     return np.asarray(filters.butter_bandpass_filter(
-        rows, lower, upper, sr, order=3, backend="host"))
+        rows, lower, upper, sr, order=3))
 
 
 def align_files(ref_path, src_path, out_suffix="", num_windows=8, window_s=1.0,

@@ -240,3 +240,19 @@ def test_cli_cyclic_wow(tmp_path, capsys):
     assert 0.1 < res["wow_depth_semitones"] < 1.0
     curve = np.loadtxt(curve_out)
     assert len(curve) == res["frames_per_rotation"]
+
+
+def test_cli_dropouts_batch(tmp_path, capsys):
+    """dropouts-batch heuristic smoke (regression: the dispatch read
+    args.stream but the flag was never defined)."""
+    sr = 22050
+    t = np.arange(2 * sr) / sr
+    sig = (0.4 * np.sin(2 * np.pi * 500 * t)
+           + 0.2 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+    sig[int(0.9 * sr):int(0.9 * sr) + 300] *= 0.05
+    src = tmp_path / "drops.wav"
+    audio_io.write_wav(src, np.stack([sig, 0.9 * sig], -1), sr)
+    res = run_cli(capsys, "dropouts-batch", str(src), "--fft-size", "512",
+                  "--num-bands", "6", "--f-lower", "100", "--f-upper", "1000")
+    out, osr, ch = audio_io.read_file(res["outputs"][0])
+    assert osr == sr and ch == 2 and len(out) == len(sig)

@@ -57,10 +57,10 @@ def test_butter_filter_parity_vs_scipy(rng, low, high, order):
     x = rng.standard_normal(8000).astype(np.float32)
     ref = filters.butter_bandpass_filter(x, low, high, fs, order=order, backend="host")
     got = np.asarray(filters.butter_bandpass_filter(x, low, high, fs, order=order))
-    # float32 scan vs float64 scipy: compare against signal scale
+    # defect-refined f32 scan vs float64 scipy: parity grade
     scale = np.abs(ref).max() + 1e-9
     err = np.abs(got - ref).max() / scale
-    assert err < 5e-3, err
+    assert err < 5e-5, err
 
 
 def test_butter_out_of_range_passthrough():
@@ -84,3 +84,33 @@ def test_sosfilt_matches_scipy(rng):
     ref = scipy.signal.sosfilt(sos, x)
     got = np.asarray(filters.sosfilt(sos, x))
     np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_sosfiltfilt_refined_parity_100db(rng):
+    """Parity-grade device IIR (VERDICT r03 #5): the defect-refined scan
+    matches scipy's float64 sosfiltfilt to >100 dB SNR across the dropout
+    band cascade, including brutal narrowband low bands; the plain f32 scan
+    (compensated=False) demonstrably cannot."""
+    from scipy import signal as dsp
+
+    sr = 44100
+    n = 1 << 16
+    x = (0.3 * rng.standard_normal(n)).astype(np.float32)
+
+    def snr(ref, got):
+        e = np.asarray(got, np.float64) - ref
+        return 10 * np.log10(np.sum(ref ** 2) / max(np.sum(e ** 2), 1e-300))
+
+    # the dropouts-batch default cascade edges (100..1000 Hz log-spaced)
+    # plus a sub-bass band whose poles sit ~1e-3 from the unit circle
+    worst_fast = np.inf
+    for lo, hi in [(100, 147), (681, 1000), (40, 80)]:
+        sos = dsp.butter(3, [lo / (sr / 2), hi / (sr / 2)], btype="band",
+                         output="sos")
+        ref = dsp.sosfiltfilt(sos, x.astype(np.float64))
+        got = filters.sosfiltfilt(sos, x)
+        s = snr(ref, got)
+        assert s > 100.0, (lo, hi, s)
+        worst_fast = min(worst_fast,
+                         snr(ref, filters.sosfiltfilt(sos, x, compensated=False)))
+    assert worst_fast < 60.0  # the refinement is load-bearing

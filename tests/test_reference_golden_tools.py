@@ -156,14 +156,15 @@ def test_dropouts_heuristic_golden(tmp_path, rng_tools):
     assert not np.allclose(g, sig2, atol=1e-5)  # it actually patched something
     np.testing.assert_allclose(o, g, atol=2e-4)
 
-    # the default device IIR cascade stays within a restoration-grade
-    # envelope of the float64 golden output
+    # the default device IIR cascade is PARITY-GRADE against the float64
+    # golden output (defect-refined scan, VERDICT r03 #5; the host scipy
+    # path above is kept as the test oracle only)
     out_dev = dropouts.process_heuristic(f_our, fft_size=fft_size,
                                          fft_overlap=overlap,
                                          suffix="_dev", **widget)
     o_dev, _, _ = audio_io.read_file(str(out_dev))
     snr = 10 * np.log10(np.mean(g ** 2) / np.mean((o_dev - g) ** 2))
-    assert snr > 40.0
+    assert snr > 100.0, snr
 
 
 def test_dropouts_max_mono_golden(tmp_path, rng_tools):
