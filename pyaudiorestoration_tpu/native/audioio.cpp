@@ -17,6 +17,13 @@
 #include <string>
 #include <vector>
 
+#if !defined(_WIN32)
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+#endif
+
 // 64-bit-clean file positioning: plain fseek/ftell take a 32-bit long on
 // LLP64 (Windows), truncating offsets in >2 GiB RF64/WAV files.
 #if defined(_WIN32)
@@ -165,6 +172,23 @@ struct AudioData {
   int sample_rate = 0;
   int channels = 0;
   int64_t frames = 0;
+  // Zero-copy fast path for float32 WAV: ``view`` points at the interleaved
+  // sample payload inside the mmap'd container (kept as bytes — WAV chunks
+  // are only 2-byte aligned), so reads are ONE memcpy from the page cache
+  // instead of fread + two intermediate copies (each with a zero-init
+  // pass).  When set, ``samples`` stays empty and the map is owned here.
+  const uint8_t* view = nullptr;
+  void* map_base = nullptr;
+  size_t map_len = 0;
+
+  AudioData() = default;
+  AudioData(const AudioData&) = delete;
+  AudioData& operator=(const AudioData&) = delete;
+  ~AudioData() {
+#if !defined(_WIN32)
+    if (map_base) munmap(map_base, map_len);
+#endif
+  }
 };
 
 // ---------------------------------------------------------------------------
@@ -455,7 +479,8 @@ uint64_t rd_u64(const uint8_t* p) {
   return (uint64_t)rd_u32(p) | ((uint64_t)rd_u32(p + 4) << 32);
 }
 
-bool decode_wav(const uint8_t* buf, size_t n, AudioData& out) {
+bool decode_wav(const uint8_t* buf, size_t n, AudioData& out,
+                bool allow_view = false) {
   if (n < 44 || memcmp(buf + 8, "WAVE", 4) != 0) return false;
   // RF64 (EBU Tech 3306): 64-bit sizes live in a ds64 chunk; the 32-bit
   // RIFF/data size fields hold the 0xFFFFFFFF sentinel
@@ -501,6 +526,10 @@ bool decode_wav(const uint8_t* buf, size_t n, AudioData& out) {
   out.channels = (int)channels;
   out.frames = (int64_t)(total / channels);
   total = (size_t)out.frames * channels;
+  if (fmt == 3 && bits == 32 && allow_view) {
+    out.view = data;  // defer to one memcpy at read time (mapped container)
+    return true;
+  }
   out.samples.resize(total);
   if (fmt == 3 && bits == 32) {
     memcpy(out.samples.data(), data, total * 4);
@@ -553,6 +582,33 @@ bool read_whole_file(const char* path, std::vector<uint8_t>& buf) {
 }
 
 bool decode_any(const char* path, AudioData& out) {
+#if !defined(_WIN32)
+  // mmap the container: FLAC/PCM decode reads straight from the page cache
+  // (no fread pass, no zero-init of a staging vector), and float32 WAV
+  // skips decode entirely (the payload IS the samples — view fast path)
+  int fd = open(path, O_RDONLY);
+  if (fd >= 0) {
+    struct stat st;
+    void* m = MAP_FAILED;
+    if (fstat(fd, &st) == 0 && st.st_size > 4)
+      m = mmap(nullptr, (size_t)st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+    close(fd);
+    if (m != MAP_FAILED) {
+      const uint8_t* p = (const uint8_t*)m;
+      size_t len = (size_t)st.st_size;
+      bool ok = (len >= 4 && memcmp(p, "fLaC", 4) == 0)
+                    ? decode_flac(p, len, out)
+                    : decode_wav(p, len, out, /*allow_view=*/true);
+      if (ok && out.view) {
+        out.map_base = m;  // view points into the map; AudioData owns it
+        out.map_len = len;
+      } else {
+        munmap(m, len);
+      }
+      return ok;
+    }
+  }
+#endif
   std::vector<uint8_t> buf;
   if (!read_whole_file(path, buf)) return false;
   if (buf.size() >= 4 && memcmp(buf.data(), "fLaC", 4) == 0)
@@ -1064,13 +1120,6 @@ struct StreamReader {
   ~StreamReader();
 };
 
-#if !defined(_WIN32)
-#include <fcntl.h>
-#include <sys/mman.h>
-#include <sys/stat.h>
-#include <unistd.h>
-#endif
-
 StreamReader::~StreamReader() {
   if (file) fclose(file);
 #if !defined(_WIN32)
@@ -1293,8 +1342,11 @@ int stream_read_block(StreamReader& s, int64_t start, int64_t count, float* out)
   if (start < 0 || start + count > s.frames) return -1;
   if (s.flac) return flac_stream_read(s, start, count, out);
   if (s.in_memory) {
-    memcpy(out, s.decoded.samples.data() + (size_t)start * s.channels,
-           (size_t)count * s.channels * sizeof(float));
+    size_t byte_off = (size_t)start * s.channels * sizeof(float);
+    const uint8_t* base = s.decoded.view
+                              ? s.decoded.view
+                              : (const uint8_t*)s.decoded.samples.data();
+    memcpy(out, base + byte_off, (size_t)count * s.channels * sizeof(float));
     return 0;
   }
   size_t bytes_per = s.bits / 8;
@@ -1415,7 +1467,9 @@ long long audioio_frames(void* h) { return ((AudioData*)h)->frames; }
 // Copies interleaved float32 samples into out (frames*channels floats).
 int audioio_read(void* h, float* out) {
   AudioData* d = (AudioData*)h;
-  memcpy(out, d->samples.data(), d->samples.size() * sizeof(float));
+  size_t bytes = (size_t)(d->frames * d->channels) * sizeof(float);
+  memcpy(out, d->view ? (const void*)d->view : (const void*)d->samples.data(),
+         bytes);
   return 0;
 }
 

@@ -38,6 +38,7 @@ __all__ = ["track_speed_device", "track_peaks_span", "plan_positions",
            "restore_fused_takes", "segment_grids", "segment_advances",
            "sinc_shift_mac", "run_banded_sinc",
            "sinc_padded_device", "restore_device", "compact_output",
+           "compact_padded_device",
            "restore_file_fast", "restore_file_streamed"]
 
 
@@ -608,6 +609,44 @@ def compact_output(padded_np, plan):
     return padded_np[mask][: plan["n_out"]].astype(np.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("out_len",))
+def compact_padded_device(padded, n, out_len: int):
+    """Device compaction: padded (..., T, max_n) + segment counts ``n`` (T,)
+    -> (contiguous (..., out_len), n_out scalar).
+
+    The gather-formulated inverse of the padded grid: output sample ``j``
+    lives in the last segment whose exclusive offset is <= j (binary search
+    over the count cumsum), at in-segment index ``j - off[t]``.  Bit-exact
+    vs the host :func:`compact_output` (it moves the same float32 values);
+    entries past ``n_out`` are zero.  ``out_len`` must be a static bound on
+    the output length (callers use ceil(n_in * (1 + d_bound)) + 1, the
+    speed-clip contract of :func:`_fused_plan`); values of ``n`` are int32
+    so the same 2**31 total-sample cap as :func:`_split_cumsum_exclusive`
+    applies.  Keeps the reference's file contract (resampling.py:162-240)
+    while the bulk download is the compacted take, not the padded grid.
+    """
+    T, max_n = padded.shape[-2:]
+    csum = jnp.cumsum(n.astype(jnp.int32))
+    n_out = csum[-1]
+    off = jnp.concatenate([jnp.zeros(1, jnp.int32), csum[:-1]])  # seg starts
+    # t(j) = last segment starting at or before j.  A binary search is
+    # O(out_len * log T) of serial-dependent gathers (measured 640 ms for a
+    # 30 s 192 kHz take); instead scatter each segment's index and start at
+    # its start position (T tiny writes) and reconstruct with a cumulative
+    # max (one bandwidth-bound scan).  Duplicate starts (zero-count
+    # segments) resolve to the LAST segment via max — the searchsorted
+    # "right" semantics exactly.
+    t_at = jnp.zeros(out_len, jnp.int32).at[off].max(
+        jnp.arange(T, dtype=jnp.int32), mode="drop")
+    o_at = jnp.zeros(out_len, jnp.int32).at[off].max(off, mode="drop")
+    t = jax.lax.cummax(t_at)
+    j = jnp.arange(out_len, dtype=jnp.int32)
+    k = jnp.clip(j - jax.lax.cummax(o_at), 0, max_n - 1)
+    flat = padded.reshape(padded.shape[:-2] + (T * max_n,))
+    out = jnp.where(j < n_out, flat[..., t * max_n + k], 0.0)
+    return out, n_out
+
+
 def _split_cumsum_exclusive(x, block: int = 1024, sub: int = 32):
     """Exclusive cumsum of positive values as an exact (int32, frac<1) pair.
 
@@ -1137,12 +1176,16 @@ def restore_file_fast(audio_path, f0_hz=None, tolerance_st: float = 1.0,
     while drift < plan["drift"]:
         drift *= 2
     sig_dev = jnp.asarray(np.ascontiguousarray(signal[:, channels].T))  # (C, n)
-    padded = np.asarray(run_banded_sinc(
+    padded = run_banded_sinc(
         sig_dev, jnp.asarray(speeds.astype(np.float32)), jnp.asarray(plan["n"]),
         jnp.asarray(plan["base_int"]), jnp.asarray(plan["base_frac"]),
-        int(plan["max_n"]), int(sinc_quality), drift))
-    out = np.stack([compact_output(padded[c], plan) for c in range(len(channels))],
-                   axis=-1)
+        int(plan["max_n"]), int(sinc_quality), drift)
+    # compact on device (bit-exact gather, tests/test_restore_fused.py) and
+    # download the interleaved take directly: the host never touches the
+    # padded grid and the transfer shrinks to the actual output
+    out_dev, _ = compact_padded_device(padded, jnp.asarray(plan["n"]),
+                                       int(plan["n_out"]))
+    out = np.asarray(jnp.transpose(out_dev))
     return audio_io.write_file(audio_path, out, sr, len(channels),
                                suffix=f"_res{suffix}")
 

