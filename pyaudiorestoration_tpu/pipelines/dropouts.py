@@ -225,22 +225,28 @@ def _heal_file_streamed(file_path, dropouts, fft_size, fft_overlap, channels,
         n = int(r.frames)
         chans = list(channels) if channels else list(range(r.channels))
         T = (n + pad) // hop + 1
+        boxes = [bp for bp in (_box_params(d, sr, hop, fft_size)
+                               for d in dropouts)
+                 if bp[1] > bp[0] and bp[4] > bp[3]]
+        # ONE span size for every box: the 64-frame-rounded max span.  Every
+        # patch STFT then has the same shape, so the whole stage compiles
+        # exactly once per (file, fft_size, channels) — box-size variety
+        # costs a few extra frames of read, not a recompile per bucket.
+        spans = [(max(0, fb - surr), min(T, fa + surr))
+                 for fb, fa, surr, _, _ in boxes]
+        t_span = max((hi - lo for lo, hi in spans), default=64)
+        t_span = -(-t_span // 64) * 64
         patches = []
-        for drop in dropouts:
-            fb, fa, surr, bl, bu = _box_params(drop, sr, hop, fft_size)
-            if fa <= fb or bu <= bl:
-                continue
-            t_lo = max(0, fb - surr)
-            t_hi = min(T, fa + surr)
-            # bucket the span to 64-frame multiples so box-size variety does
-            # not mean one compile per distinct box (extra frames sliced off)
-            t_bucket = -(-(t_hi - t_lo) // 64) * 64
+        for (fb, fa, surr, bl, bu), (t_lo, t_hi) in zip(boxes, spans):
             a = t_lo * hop - pad
-            b = (t_lo + t_bucket - 1) * hop - pad + fft_size
+            b = (t_lo + t_span - 1) * hop - pad + fft_size
             span = streaming.virtual_read(r, a, b, pad, chans)
             spec = fourier.stft(jnp.asarray(span.T), n_fft=fft_size, step=hop,
                                 center=False)[..., :t_hi - t_lo]
-            spec_db = 20.0 * np.log10(np.abs(np.asarray(spec)) + 1e-7)
+            # |.| on device: only the real magnitude crosses the host
+            # boundary (complex downloads are unsupported on some runtimes
+            # and twice the bytes everywhere)
+            spec_db = 20.0 * np.log10(np.asarray(jnp.abs(spec)) + 1e-7)
             loc = lambda t: t - t_lo
             before = spec_db[:, bl:bu, loc(max(0, fb - surr)):loc(fb)]
             after = spec_db[:, bl:bu, loc(fa):loc(min(T, fa + surr))]

