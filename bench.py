@@ -26,6 +26,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+os.environ.setdefault("AUDIOIO_NO_IDX", "1")  # keep the reference dir pristine
 SAMPLE = "/root/reference/samples/flutter_192.flac"
 REPEAT_S = 30.0
 

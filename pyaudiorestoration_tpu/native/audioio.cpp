@@ -1217,9 +1217,12 @@ bool open_flac_stream(const char* path, StreamReader& s) {
           (uint64_t)sample >= s.flac_info.total_samples)
         break;
     }
-    if (!s.flac_index.empty()) {
+    if (!s.flac_index.empty() && !getenv("AUDIOIO_NO_IDX")) {
+      // AUDIOIO_NO_IDX=1 opts out of sidecar writes entirely (e.g. when
+      // reading from a directory that must stay pristine but happens to be
+      // writable); read-only dirs skip the cache on their own (best-effort)
       FILE* fo = fopen(idx_path.c_str(), "wb");
-      if (fo) {  // best-effort (read-only dirs just skip the cache)
+      if (fo) {
         uint64_t hdr[5] = {0x464C414349445832ull, (uint64_t)s.flac_size, fp,
                            (uint64_t)s.flac_index.size(), (uint64_t)sample};
         std::vector<uint64_t> raw;

@@ -30,6 +30,7 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 
     jax.config.update("jax_platforms", "cpu")
 
+os.environ.setdefault("AUDIOIO_NO_IDX", "1")  # keep the reference dir pristine
 SAMPLES = "/root/reference/samples"
 
 

@@ -7,6 +7,7 @@ strategy. Must set flags before jax is imported anywhere.
 
 import os
 
+os.environ["AUDIOIO_NO_IDX"] = "1"  # never write .flacidx sidecars next to the read-only reference samples
 os.environ["JAX_PLATFORMS"] = "cpu"  # the session presets axon (TPU); tests run on a virtual CPU mesh
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -167,9 +167,10 @@ def test_probe_file_header_only(samples_dir, tmp_path):
     assert streaming.decoded_bytes(flac) == len(sig) * ch * 4
 
 
-def test_flac_index_sidecar_cache(samples_dir, tmp_path):
+def test_flac_index_sidecar_cache(samples_dir, tmp_path, monkeypatch):
     """The frame index caches to a sidecar keyed by container size: a second
     open reuses it (and a stale sidecar for a different file is rejected)."""
+    monkeypatch.delenv("AUDIOIO_NO_IDX", raising=False)
     import shutil
 
     import numpy as np
@@ -333,7 +334,21 @@ def test_write_file_output_format(tmp_path, rng):
     assert audio_io.write_file(src, sig, 8000, suffix="_w").endswith("_w.wav")
 
 
-def test_flac_index_sidecar_same_size_replacement(tmp_path):
+def test_no_idx_env_suppresses_sidecar(tmp_path):
+    """AUDIOIO_NO_IDX=1 (set by conftest) must keep source dirs pristine:
+    streaming a FLAC writes no .flacidx next to it."""
+    sr = 8000
+    sig = (0.5 * np.sin(2 * np.pi * 220 * np.arange(20000) / sr)
+           ).astype(np.float32)[:, None]
+    p = str(tmp_path / "clean.flac")
+    audio_io.write_flac(p, sig, sr)
+    with audio_io.StreamReader(p) as r:
+        r.read(5000, 1000)
+    assert not os.path.exists(p + ".flacidx")
+
+
+def test_flac_index_sidecar_same_size_replacement(tmp_path, monkeypatch):
+    monkeypatch.delenv("AUDIOIO_NO_IDX", raising=False)
     """A sidecar is keyed by a header fingerprint in addition to size: a
     same-size replacement file (different STREAMINFO MD5) must invalidate
     the cached frame index instead of reusing stale offsets."""
