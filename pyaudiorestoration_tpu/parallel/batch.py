@@ -46,12 +46,27 @@ def load_batch(paths, multiple: int = 1, channel: int = 0,
     n = -(-n // multiple) * multiple
     batch = np.zeros((len(signals), n), dtype=np.float32)
     for i, s in enumerate(signals):
-        L = len(s)
-        batch[i, :L] = s
-        if reflect_tail and L >= 2:
-            k = min(n - L, reflect_tail, L - 1)
-            batch[i, L:L + k] = s[L - 2:L - 2 - k:-1]
+        batch[i, :len(s)] = s
+        reflect_continue(batch[i], len(s), reflect_tail)
     return batch, srs[0], lengths
+
+
+def reflect_continue(row, L, tail):
+    """Continue ``row`` past its real end ``L`` with the take's clamped
+    single reflection for up to ``tail`` samples, in place.
+
+    THE host-side twin of the device ``reflect_row`` in
+    ``restore_fused_sharded`` (respeeder_device.py: src = clip(2(L-1)-pos,
+    0, ...)); keep the two in lockstep — every batched tier's bit-parity
+    with the solo restore rides on the boundary convention matching.
+    Handles tails longer than the take (the reflection clamps at sample 0
+    rather than crashing or zero-filling)."""
+    k = min(len(row) - L, tail)
+    if k <= 0 or L < 1:
+        return row
+    idx = np.clip(2 * (L - 1) - (L + np.arange(k)), 0, L - 1)
+    row[L:L + k] = row[idx]
+    return row
 
 
 def restore_batch(mesh, batch, f0_hz, sr, **kwargs):

@@ -37,15 +37,22 @@ def _upsample_linear_exact(rows, n: int):
     (T-1)/(n-1)), so placement error is ~2**-47 per position.  A plain f32
     ``linspace(0, 1, n)`` quantizes coordinates at 2**-24 ABSOLUTE — about
     1% of a frame step at n~2**18 — which moved steep heal ramps enough to
-    cap device/host parity at ~65 dB.  Requires n < 2**24 (larger files
-    take the streamed heuristic path, which interpolates on host in f64)."""
+    cap device/host parity at ~65 dB.  Valid for any n < 2**31: the sample
+    index enters as an exact (multiple-of-4096, remainder) f32 pair, so no
+    f32-representability cliff at 2**24."""
     from ..ops.filters import _df_const, _two_prod, _two_sum
 
     T = rows.shape[-1]
-    i = jnp.arange(n, dtype=jnp.float32)
+    j = jnp.arange(n, dtype=jnp.int32)
+    # j splits exactly: j - (j & 0xFFF) has <= 19 significant bits (n < 2^31)
+    # and the remainder is < 2^12, so both halves are exact in f32
+    ih = (j & ~jnp.int32(0xFFF)).astype(jnp.float32)
+    il = (j & jnp.int32(0xFFF)).astype(jnp.float32)
     qh, ql = _df_const(np.float64(T - 1) / np.float64(n - 1))
-    ph, pe = _two_prod(i, qh)
-    s, e = _two_sum(ph, pe + i * ql)
+    ph1, pe1 = _two_prod(ih, qh)
+    ph2, pe2 = _two_prod(il, qh)
+    s1, e1 = _two_sum(ph1, ph2)
+    s, e = _two_sum(s1, pe1 + pe2 + e1 + (ih + il) * ql)
     k = jnp.clip(jnp.floor(s).astype(jnp.int32), 0, T - 2)
     frac = (s - k.astype(jnp.float32)) + e
     f0 = rows[..., k]

@@ -22,6 +22,26 @@ def test_load_batch_pads(tmp_path, rng):
     assert np.all(b[0, 5000:] == 0)
 
 
+def test_load_batch_reflect_tail_short_take(tmp_path, rng):
+    """A take SHORTER than the reflect tail must load without crashing
+    (regression: the reversed-slice tail hit a negative stop at k == L-1 and
+    raised ValueError) and must carry the device reflect_row's clamped
+    single reflection."""
+    sr = 8000
+    s1 = rng.standard_normal(1000).astype(np.float32) * 0.1
+    s2 = rng.standard_normal(50000).astype(np.float32) * 0.1
+    p1, p2 = tmp_path / "a.wav", tmp_path / "b.wav"
+    audio_io.write_wav(p1, s1, sr)
+    audio_io.write_wav(p2, s2, sr)
+    b, _, lengths = batch.load_batch([str(p1), str(p2)], reflect_tail=4096)
+    assert lengths == [1000, 50000]
+    L, k = 1000, 4096
+    idx = np.clip(2 * (L - 1) - (L + np.arange(k)), 0, L - 1)
+    np.testing.assert_array_equal(b[0, L:L + k], s1[idx])
+    # beyond 2(L-1) the reflection clamps at sample 0 (device convention)
+    assert np.all(b[0, 2 * (L - 1):L + k] == s1[0])
+
+
 def test_restore_batch_files(tmp_path):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")

@@ -20,6 +20,7 @@ import pytest
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
+from pyaudiorestoration_tpu.parallel import batch as pbatch  # noqa: E402
 from pyaudiorestoration_tpu.parallel import mesh as pmesh  # noqa: E402
 from pyaudiorestoration_tpu.parallel import sharded  # noqa: E402
 from pyaudiorestoration_tpu.pipelines import respeeder_device as rdev  # noqa: E402
@@ -402,8 +403,7 @@ def test_sharded_fast_mixed_lengths_bitexact_vs_solo():
     x = np.zeros((n_files, total), np.float32)
     for i, (L, s) in enumerate(zip(lengths, takes)):
         x[i, :L] = s
-        k = min(total - L, NFFT, L - 1)
-        x[i, L:L + k] = s[L - 2:L - 2 - k:-1]
+        pbatch.reflect_continue(x[i], L, NFFT)
     NL, NU = _bands(total)
     mesh = _mesh(n_files, n_time)
     xs = pmesh.shard_time_batch(mesh, x)
