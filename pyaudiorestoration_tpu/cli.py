@@ -282,9 +282,16 @@ def main(argv=None):
 
         jax.config.update("jax_platforms",
                           {"tpu": "axon"}.get(args.platform, args.platform))
-    from .utils.device import enable_persistent_compile_cache
+    import os
 
-    enable_persistent_compile_cache()  # minutes-long kernel compiles: 1x/machine
+    if "PYTEST_CURRENT_TEST" not in os.environ:
+        # minutes-long kernel compiles: 1x/machine.  NOT under pytest: this
+        # flips process-global jax config, and tests drive main() in-process
+        # — a crash mid-cache-write once poisoned the next run's cache read
+        # (round-4 full-suite SIGSEGV post-mortem).
+        from .utils.device import enable_persistent_compile_cache
+
+        enable_persistent_compile_cache()
     if args.flac_out is not None:
         from .utils import audio_io
 

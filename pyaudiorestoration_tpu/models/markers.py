@@ -232,6 +232,11 @@ class _CurveGrid:
 
     def filter_bandpass(self, samples):
         lowcut, highcut = sorted(self.bands)
+        # host on purpose: the master curve is frame-rate (sr/hop, a few
+        # hundred points per minute of audio) and updated interactively; a
+        # device dispatch + transfer costs more than scipy's f64 cascade
+        # and the reference's curve is bit-matched by the f64 path
+        # (markers.py:601-605).
         return np.asarray(filters.butter_bandpass_filter(
             samples, lowcut, highcut, self.marker_sr, order=3, backend="host"))
 

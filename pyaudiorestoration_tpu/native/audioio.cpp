@@ -1217,7 +1217,9 @@ bool open_flac_stream(const char* path, StreamReader& s) {
           (uint64_t)sample >= s.flac_info.total_samples)
         break;
     }
-    if (!s.flac_index.empty() && !getenv("AUDIOIO_NO_IDX")) {
+    const char* no_idx = getenv("AUDIOIO_NO_IDX");
+    bool idx_opt_out = no_idx && no_idx[0] && strcmp(no_idx, "0") != 0;
+    if (!s.flac_index.empty() && !idx_opt_out) {
       // AUDIOIO_NO_IDX=1 opts out of sidecar writes entirely (e.g. when
       // reading from a directory that must stay pristine but happens to be
       // writable); read-only dirs skip the cache on their own (best-effort)

@@ -10,9 +10,15 @@ transposed state space), so the whole filter runs as a parallel prefix on the
 VPU instead of a per-sample loop.  Coefficient design and initial conditions
 come from scipy on the host (static per filter spec).
 
-A ``backend="host"`` escape hatch calls scipy directly — used by the
-control-plane master-curve code where bit-parity with the reference matters
-and data is frame-rate sized.
+A ``backend="host"`` escape hatch calls scipy directly.  Production call
+sites use it in exactly two deliberate situations (each documented in
+place): frame-rate control curves (master speed / lag curves, a few
+hundred points — device round-trip costs more than the filter) and
+host-resident streamed block loops where the data never touches the
+device either side of the filter.  The audio-rate device paths
+(dropout cascade, tapesynch correlate_sources) default to the
+defect-refined device scan; the host path otherwise serves as the test
+oracle.
 """
 
 from __future__ import annotations
@@ -171,10 +177,11 @@ def _sos_section_scan_df(x, b0, b1, b2, a1, a2, zi, passes: int = 2):
     def prev(s, z):
         return jnp.concatenate([z, s[..., :-1]], axis=-1)
 
-    for _ in range(passes):
+    def one_pass(_, state):
         # residual of the float64-coefficient recurrence at the current
         # (hi, lo) state estimate, via error-free transforms (elementwise):
         #   r_n = A s~_{n-1} + B x_n - s~_n
+        s0h, s0l, s1h, s1l = state
         p0h, p0l = prev(s0h, z0), prev(s0l, jnp.zeros_like(z0))
         p1h, p1l = prev(s1h, z1), prev(s1l, jnp.zeros_like(z1))
 
@@ -201,6 +208,18 @@ def _sos_section_scan_df(x, b0, b1, b2, a1, a2, zi, passes: int = 2):
         # fold the correction into the (hi, lo) state representation
         s0h, s0l = _two_sum(s0h, s0l + d0)
         s1h, s1l = _two_sum(s1h, s1l + d1)
+        return s0h, s0l, s1h, s1l
+
+    # fori_loop, not Python unrolling: _refinement_passes can ask for up to
+    # 10 passes, and unrolling pass x section x fwd/bwd blew the XLA:CPU
+    # program size up enough to crash long-lived test processes (round-4
+    # full-suite SIGSEGV at the compile of this very function).  The loop
+    # body compiles ONCE regardless of the pass count.
+    if passes == 1:
+        s0h, s0l, s1h, s1l = one_pass(0, (s0h, s0l, s1h, s1l))
+    else:
+        s0h, s0l, s1h, s1l = jax.lax.fori_loop(
+            0, passes, one_pass, (s0h, s0l, s1h, s1l))
 
     # y_n = b0 x_n + s0~_{n-1}, compensated final combine
     yh, ye = _two_prod(b0h, x)

@@ -16,7 +16,7 @@ from . import sharded
 
 __all__ = ["load_batch", "restore_batch", "restore_batch_files",
            "restore_batch_files_fused", "restore_file_sharded",
-           "lag_resample_file_sharded"]
+           "lag_resample_file_sharded", "validate_plan"]
 
 
 def load_batch(paths, multiple: int = 1, channel: int = 0,
@@ -75,11 +75,40 @@ def restore_batch(mesh, batch, f0_hz, sr, **kwargs):
     return sharded.restore_step(mesh, xs, f0_hz, sr, **kwargs)
 
 
+def validate_plan(base_int, base_frac, step: int, t_real: int,
+                  slack: int, wrap_bits: int = 32):
+    """Unwrap one take's (possibly mod-``2**wrap_bits`` wrapped) plan anchors
+    and check the fused step's advance invariant before compaction.
+
+    The dithered plan guarantees segment t's sinc window starts within
+    ``nt + drift + base_slack`` of ``t*step`` ("one hop by construction",
+    restore_fused_sharded) — the one invariant a halo-exchange, carry-combine
+    or dither bug would break while still producing a plausibly-shaped
+    output.  Past 2**31 input samples the device plan wraps (int32), so the
+    check runs on :func:`sharded.unwrap_base_int`'s int64 reconstruction —
+    this is the production consumer of the unwrap contract.  Reference
+    anchor: the implicit-int64 float64 planner, resampling.py:93-137.
+    """
+    pos = sharded.unwrap_base_int(base_int[:t_real], base_frac[:t_real],
+                                  bits=wrap_bits)
+    want = np.arange(t_real, dtype=np.float64) * step
+    err = np.abs(pos - want)
+    if err.size and err.max() > slack:
+        t_bad = int(err.argmax())
+        raise RuntimeError(
+            f"sharded plan violates the one-hop advance invariant at segment "
+            f"{t_bad}: window start {pos[t_bad]:.1f} vs expected "
+            f"~{want[t_bad]:.0f} (|err| {err.max():.1f} > slack {slack}); "
+            f"refusing to write a corrupt export")
+    return pos
+
+
 def restore_batch_files_fused(paths, f0_hz=None, tolerance_st: float = 1.0,
                               fft_size: int = 4096, fft_overlap: int = 8,
                               zeropad: int = 2, sinc_quality: int = 50,
                               drift: int = 32, n_files_axis=None,
-                              out_suffix="_res", backend: str = "auto"):
+                              out_suffix="_res", backend: str = "auto",
+                              _wrap_bits: int = 32):
     """End-to-end FAST-TIER batch restore over the mesh: read files ->
     ('files','time') mesh -> ``restore_fused_sharded`` (banded-DFT tracking,
     exact dithered plan, quality-taps banded sinc — the same kernels as the
@@ -122,11 +151,16 @@ def restore_batch_files_fused(paths, f0_hz=None, tolerance_st: float = 1.0,
         padded, nn, bi, bf = sharded.restore_fused_sharded(
             mesh, xs, NL, NU, fft_size, step, zeropad,
             max_n=int(step * 1.25), nt=int(sinc_quality), drift=drift,
-            backend=backend, lengths=lengths)
+            backend=backend, lengths=lengths, wrap_bits=_wrap_bits)
         padded = np.asarray(padded)
         nn = np.asarray(nn)
-        for path, row, counts, length in zip(group, padded, nn, lengths):
+        bi, bf = np.asarray(bi), np.asarray(bf)
+        slack = int(sinc_quality) + drift + 16 + 2  # nt+drift+base_slack
+        for j, (path, row, counts, length) in enumerate(
+                zip(group, padded, nn, lengths)):
             t_real = min(len(counts), length // step)  # the solo segment count
+            validate_plan(bi[j], bf[j], step, t_real, slack,
+                          wrap_bits=_wrap_bits)
             flat = sharded.compact_padded_host(row[:t_real], counts[:t_real])
             out_paths.append(audio_io.write_file(path, flat, sr, 1,
                                                  suffix=out_suffix))
@@ -137,7 +171,7 @@ def restore_file_sharded(path, f0_hz=None, tolerance_st: float = 1.0,
                          fft_size: int = 4096, fft_overlap: int = 8,
                          zeropad: int = 2, sinc_quality: int = 50,
                          drift: int = 32, out_suffix="_res",
-                         backend: str = "auto"):
+                         backend: str = "auto", _wrap_bits: int = 32):
     """ALL channels of one recording through the mesh fast tier with the
     reference's shared-curve export contract (resampling.py:211-231):
     channels ride the ``files`` axis, ``share_curve=True`` broadcasts
@@ -169,12 +203,15 @@ def restore_file_sharded(path, f0_hz=None, tolerance_st: float = 1.0,
     NU = np.full(F, NUv, np.int32)
     backend = {"auto": _sinc_backend("auto")}.get(backend, backend)
     xs = pmesh.shard_time_batch(mesh, batch)
-    padded, nn, _, _ = sharded.restore_fused_sharded(
+    padded, nn, bi, bf = sharded.restore_fused_sharded(
         mesh, xs, NL, NU, fft_size, step, zeropad, max_n=int(step * 1.25),
-        nt=int(sinc_quality), drift=drift, backend=backend, share_curve=True)
+        nt=int(sinc_quality), drift=drift, backend=backend, share_curve=True,
+        wrap_bits=_wrap_bits)
     padded = np.asarray(padded)
     counts = np.asarray(nn)[0]
     t_real = min(len(counts), -(-sig.shape[0] // step))
+    validate_plan(np.asarray(bi)[0], np.asarray(bf)[0], step, t_real,
+                  int(sinc_quality) + drift + 16 + 2, wrap_bits=_wrap_bits)
     out = np.stack([sharded.compact_padded_host(padded[c][:t_real],
                                                 counts[:t_real])
                     for c in range(C)], axis=-1)

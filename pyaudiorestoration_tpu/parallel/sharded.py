@@ -381,7 +381,8 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
                           drift: int = 32, window_name: str = "blackmanharris",
                           band=None, speed_curve=None, base_slack: int = 16,
                           chunk_frames: int = 4096, backend: str = "xla",
-                          share_curve: bool = False, lengths=None):
+                          share_curve: bool = False, lengths=None,
+                          wrap_bits: int = 32):
     """The single-chip fused restoration step on a ('files', 'time') mesh.
 
     Same kernels and conventions as ``respeeder_device.restore_fused_device``
@@ -419,7 +420,11 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
     window starts ``base_int - shard_start``) takes small DIFFERENCES of
     equally-wrapped values, which two's-complement arithmetic recovers
     exactly.  Only the RETURNED ``base_int`` is then wrapped mod 2**32;
-    hosts can unwrap it with :func:`unwrap_base_int` when compacting.
+    hosts unwrap it with :func:`unwrap_base_int` (the export wrappers in
+    ``parallel.batch`` do, to validate the plan before compaction).
+    ``wrap_bits`` < 32 artificially lowers the wrap modulus of the RETURNED
+    ``base_int`` only (on-device consumers keep the int32 value) so the
+    wrapped-plan export contract is testable on sub-2**31 fixtures.
 
     ``lengths``: optional host (batch,) real sample counts for a
     MIXED-LENGTH batch.  The TraceLine centering mean then runs over each
@@ -629,7 +634,15 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
 
             padded = jax.vmap(one_file)(ext, s_lo, s_hi, nn, anchors,
                                         base_frac)
-        return padded, nn, base_int, base_frac
+        if wrap_bits < 32:
+            # test hook: wrap the RETURNED plan at a low modulus (see the
+            # length contract above) — anchors above already consumed the
+            # int32 value, exactly like production past 2**31
+            half = 1 << (wrap_bits - 1)
+            ret_base = ((base_int + half) & ((1 << wrap_bits) - 1)) - half
+        else:
+            ret_base = base_int
+        return padded, nn, ret_base, base_frac
 
     in_specs = [P("files", "time"), P("time", None), P("time", None)]
     args = [x, jnp.asarray(NL_ov), jnp.asarray(NU_ov)]
@@ -648,7 +661,7 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
     key = (_mesh_key(mesh), batch, total, n_fft, step,
            zeropad, max_n, nt, drift, window_name, (lo, hi),
            speed_curve is not None, base_slack, chunk_frames, backend,
-           share_curve, lengths is not None)
+           share_curve, lengths is not None, wrap_bits)
     return _cached_exec(("fused",) + key, lambda: jax.jit(shard_map(
         fn, mesh=mesh,
         in_specs=tuple(in_specs),
@@ -658,8 +671,8 @@ def restore_fused_sharded(mesh: Mesh, x, NL, NU, n_fft: int, step: int,
     )))(*args)
 
 
-def unwrap_base_int(base_int_np, base_frac_np=None):
-    """Host: unwrap the mod-2**32 ``base_int`` returned by
+def unwrap_base_int(base_int_np, base_frac_np=None, bits: int = 32):
+    """Host: unwrap the mod-``2**bits`` ``base_int`` returned by
     :func:`restore_fused_sharded` into true int64 sample positions.
 
     On-device the global position cumsum runs in int32 and wraps past
@@ -675,11 +688,13 @@ def unwrap_base_int(base_int_np, base_frac_np=None):
     Returns int64 positions, or float64 ``base + frac`` when ``base_frac_np``
     is given.  Reference anchor: the implicit int64 positions of the
     float64 host planner, resampling.py:93-137."""
-    w = np.asarray(base_int_np).astype(np.int32)
-    d = np.diff(w, axis=-1)  # int32 wrapped deltas: exact for |true| < 2**31
-    first = w[..., :1].astype(np.int64)
+    w = np.asarray(base_int_np).astype(np.int64)
+    half = np.int64(1) << (bits - 1)
+    # wrapped deltas, recovered to signed range: exact for |true| < 2**(bits-1)
+    d = ((np.diff(w, axis=-1) + half) & ((np.int64(1) << bits) - 1)) - half
+    first = w[..., :1]
     pos = np.concatenate(
-        [first, first + np.cumsum(d.astype(np.int64), axis=-1)], axis=-1)
+        [first, first + np.cumsum(d, axis=-1)], axis=-1)
     if base_frac_np is not None:
         return pos.astype(np.float64) + np.asarray(base_frac_np, np.float64)
     return pos

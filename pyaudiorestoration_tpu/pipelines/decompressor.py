@@ -61,6 +61,10 @@ def match_dynamics(signal_src, signal_ref, sr, hop=32, sz=512, corr_sz=4096,
     num_channels = signal_src.shape[1]
     fac_interp = np.empty(signal_src.shape)
     for channel in range(num_channels):
+        # host on purpose: the RMS-envelope chain downstream (windowed_rms,
+        # xcorr sync, smoothing) is numpy f64 end-to-end, so the band-pass
+        # stays with it — one device hop for the filter alone would just
+        # add transfers (experiments/decompressor_cmd.py is all-host too)
         src_c = np.asarray(filters.butter_bandpass_filter(
             signal_src[:, channel], lower, upper, sr, order=3, backend="host"))
         ref_c = np.asarray(filters.butter_bandpass_filter(

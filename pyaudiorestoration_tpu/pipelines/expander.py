@@ -162,6 +162,11 @@ def _expand_file_streamed(file_src, channel_mode, fft_size, band_lower,
                     fac = np.interp(idx, t_frames, facs[channel_i])
                     boosted = sig[:, channel_i] * fac
                     if transition:
+                        # host on purpose: this streamed block loop is
+                        # host-resident either side of the filter (mmap read
+                        # -> f64 gain math -> StreamWriter); keeping the
+                        # split filters on scipy avoids per-block device
+                        # transfers and bit-matches the in-memory f64 path
                         lp = np.asarray(filters.butter_bandpass_filter(
                             sig[:, channel_i], 0, transition, sr, order=order,
                             backend="host"))

@@ -46,6 +46,9 @@ def get_signal_around(signal, sr, t, width, channel=0):
 def get_speed_at(lag_data, marker_sr, t, width=0.05):
     """Local source-speed estimate from the lag-curve derivative
     (pytapesynch_gui.py:175-192)."""
+    # host on purpose: the lag curve is frame-rate sized (a few hundred
+    # points); scipy f64 here is cheaper than a device round-trip and
+    # bit-matches the reference's curve smoothing (pytapesynch_gui.py:180)
     filtered = np.asarray(filters.butter_bandpass_filter(
         lag_data[:, 1], 0, 15, marker_sr, order=3, backend="host"))
     before = np.interp(t - width, lag_data[:, 0], filtered)

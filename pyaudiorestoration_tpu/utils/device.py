@@ -29,6 +29,15 @@ def enable_persistent_compile_cache(cache_dir=None):
 
     import jax
 
+    if "PYTEST_CURRENT_TEST" in os.environ and cache_dir is None:
+        # Never flip process-global cache config from inside a test process:
+        # tests drive cli.main()/doctor in-process, and a crashed run once
+        # left a truncated cache entry that SEGFAULTED the next full suite
+        # during cache READ (jax compilation_cache.get_executable_and_time —
+        # round-4 post-mortem).  Tests that want the cache pass an explicit
+        # tmp cache_dir.
+        return
+
     try:
         if cache_dir is None:
             cache_dir = os.path.join(
@@ -36,6 +45,16 @@ def enable_persistent_compile_cache(cache_dir=None):
                                os.path.expanduser("~/.cache")),
                 "pyaudiorestoration_tpu", "xla")
         os.makedirs(cache_dir, exist_ok=True)
+        # a process that crashed mid-write can leave truncated entries that
+        # crash the NEXT process during cache read (round-4 post-mortem);
+        # sweep the obviously-bad ones (empty files, leftover temp files)
+        for name in os.listdir(cache_dir):
+            p = os.path.join(cache_dir, name)
+            try:
+                if name.endswith(".tmp") or os.path.getsize(p) == 0:
+                    os.unlink(p)
+            except OSError:
+                pass
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # cache everything that took noticeable compile time
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
