@@ -1,6 +1,11 @@
 """Benchmark: wow/flutter restoration of a 192 kHz tape transfer on one chip.
 
-Prints ONE JSON line:
+Prints the PRIMARY JSON line first (single stereo take — the north-star
+metric; it also carries the batch number as ``batch8_x_realtime`` for
+one-line parsers), then a second JSON line for the 8-take independent batch
+tier (``restore_fused_takes`` — the digitization-batch serving shape,
+VERDICT r04 #3; reference anchor: the sequential file loop,
+resampling.py:168 / pyrespeeder_gui.py:142-159):
   {"metric": ..., "value": N, "unit": "x_realtime", "vs_baseline": N}
 
 Measures the device-resident restoration pipeline (STFT -> banded peak
@@ -28,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 os.environ.setdefault("AUDIOIO_NO_IDX", "1")  # keep the reference dir pristine
 SAMPLE = "/root/reference/samples/flutter_192.flac"
-REPEAT_S = 30.0
+REPEAT_S = float(os.environ.get("BENCH_SECONDS", "30"))  # override for smoke-testing the harness
 
 
 def main():
@@ -98,6 +103,32 @@ def main():
         times.append(time.perf_counter() - t0)
     wall = min(times)
     rtf = audio_seconds / wall
+
+    # ---- batch tier: 8 INDEPENDENT takes in one dispatch ----------------
+    B = 8
+    takes = np.stack([mono * (0.5 + 0.06 * i) for i in range(B)])
+    takes_dev = jax.device_put(jnp.asarray(takes))
+    float(jnp.sum(takes_dev))  # force the upload out of the timed region
+    NLb = jax.device_put(jnp.broadcast_to(NLs, (B, n_frames)))
+    NUb = jax.device_put(jnp.broadcast_to(NUs, (B, n_frames)))
+    batch_audio_s = B * (takes.shape[1] / sr)
+
+    def run_batch():
+        padded = rdev.restore_fused_takes(takes_dev, NLb, NUb, fft_size, hop,
+                                          zp, max_n, q, 16, backend=backend,
+                                          band=(NL - 1, NU + 1))
+        return float(jnp.sum(padded))
+
+    t0 = time.perf_counter()
+    run_batch()  # compile
+    batch_cold = time.perf_counter() - t0
+    batch_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_batch()
+        batch_times.append(time.perf_counter() - t0)
+    batch_rtf = batch_audio_s / min(batch_times)
+
     # the relay floor varies run to run (measured 550-600x); the headline is
     # min-of-5 warm, and the full runs array + cold (compile-inclusive) wall
     # ride along so BENCH_r*.json carries its own variance context
@@ -109,6 +140,16 @@ def main():
         "runs_x_realtime": [round(audio_seconds / t, 1) for t in times],
         "wall_cold_s": round(cold, 3),
         "audio_s": round(audio_seconds, 2),
+        "batch8_x_realtime": round(batch_rtf, 2),
+    }))
+    print(json.dumps({
+        "metric": "8-take independent batch aggregate realtime factor (1 chip, restore_fused_takes)",
+        "value": round(batch_rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(batch_rtf / 100.0, 3),
+        "runs_x_realtime": [round(batch_audio_s / t, 1) for t in batch_times],
+        "wall_cold_s": round(batch_cold, 3),
+        "audio_s": round(batch_audio_s, 2),
     }))
 
 

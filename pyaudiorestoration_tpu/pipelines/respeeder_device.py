@@ -980,7 +980,7 @@ def restore_file_streamed(audio_path, f0_hz=None, tolerance_st: float = 1.0,
                           zeropad: int = 2, sinc_quality: int = 50,
                           suffix: str = "", channel: int = 0, use_channels=None,
                           frames_per_block: int = 65536, seg_tile: int = 16384,
-                          resume: bool = True, speed_curve=None):
+                          resume: bool = True, speed_curve=None, timings=None):
     """Larger-than-memory wow/flutter fix: two streamed passes over the file.
 
     Pass 1 reads ``frames_per_block``-frame sample spans via the native
@@ -1002,8 +1002,18 @@ def restore_file_streamed(audio_path, f0_hz=None, tolerance_st: float = 1.0,
     SKIP tracking entirely — streamed project replay (a saved master curve
     over a larger-than-memory take) and constant-ratio resampling both ride
     this.
+
+    ``timings``: optional dict the call populates with per-pass wall times
+    (``pass1_s`` tracking, ``plan_s`` host planning, ``pass2_s``
+    resample+write) plus ``n``/``sr``/``n_out`` — the measurement hook for
+    the streamed-tier RTF proof (scripts/e2e_proofs_r05.py).
     """
+    import time as _time
+
     from ..utils import audio_io
+
+    if timings is None:
+        timings = {}
 
     hop = fft_size // fft_overlap
     nt = int(sinc_quality)
@@ -1044,30 +1054,40 @@ def restore_file_streamed(audio_path, f0_hz=None, tolerance_st: float = 1.0,
                 pass
         if speeds is None:
             # ---- pass 1: streamed banded peak tracking (frame-exact)
+            _t0 = _time.perf_counter()
             NLs = jnp.full((frames_per_block,), NL, jnp.int32)
             NUs = jnp.full((frames_per_block,), NU, jnp.int32)
             span_need = (frames_per_block - 1) * hop + fft_size
             refined_parts = []
+            t_read = t_dev = 0.0
             for t0 in range(0, n_frames, frames_per_block):
                 t1 = min(n_frames, t0 + frames_per_block)
                 lo = t0 * hop - pad
                 hi = (t1 - 1) * hop - pad + fft_size
                 rlo, rhi = max(0, lo), min(n, hi)
+                _tr = _time.perf_counter()
                 blk = reader.read(rlo, rhi - rlo)[:, channel].astype(np.float32)
+                t_read += _time.perf_counter() - _tr
                 if lo < 0 or hi > n:  # reflect only at the true file edges
                     blk = np.pad(blk, (rlo - lo, hi - rhi), mode="reflect")
                 blk = np.pad(blk, (0, span_need - len(blk)))
+                _td = _time.perf_counter()
                 refined = np.asarray(track_peaks_span(
                     jnp.asarray(blk), NLs, NUs, frames_per_block, fft_size, hop,
                     zeropad, band=(NL - 1, NU + 1)))
+                t_dev += _time.perf_counter() - _td
                 refined_parts.append(refined[: t1 - t0])
+            timings["pass1_read_s"] = t_read
+            timings["pass1_device_s"] = t_dev  # incl. block upload + curve download
             speeds = np.asarray(normalize_speeds(
                 jnp.asarray(np.concatenate(refined_parts)),
                 center=log_center_for_band((NL - 1, NU + 1))))
             if resume:
                 np.savez(ckpt_path, key=ckpt_key, speeds=speeds)
+            timings["pass1_s"] = _time.perf_counter() - _t0
 
         # ---- global position plan (host, frame-rate sized)
+        _t0 = _time.perf_counter()
         plan = plan_positions_fast(speeds, hop, n)
         drift = 8
         while drift < plan["drift"]:
@@ -1086,7 +1106,11 @@ def restore_file_streamed(audio_path, f0_hz=None, tolerance_st: float = 1.0,
         span_fix = max(
             int(bi_all[min(T, a + seg_tile) - 1]) - int(bi_all[a])
             for a in range(0, T, seg_tile)) + max_n + 2 * U + 2
+        timings["plan_s"] = _time.perf_counter() - _t0
+        timings.update(n=n, sr=sr, n_out=int(plan["n_out"]))
+        _t0 = _time.perf_counter()
         written = 0
+        t_read = t_dev = t_write = 0.0
         with audio_io.open_writer(out_path, sr, len(channels)) as writer:
             for a in range(0, T, seg_tile):
                 b = min(T, a + seg_tile)
@@ -1094,10 +1118,13 @@ def restore_file_streamed(audio_path, f0_hz=None, tolerance_st: float = 1.0,
                 lo = int(plan["base_int"][a]) - U
                 hi = int(plan["base_int"][b - 1]) + max_n + U + 2
                 rlo, rhi = max(0, lo), min(n, hi)
+                _tr = _time.perf_counter()
                 buf = reader.read(rlo, rhi - rlo)[:, channels]  # (span, C)
+                t_read += _time.perf_counter() - _tr
                 pad_s = span_fix - buf.shape[0]
                 if pad_s > 0:
                     buf = np.pad(buf, ((0, pad_s), (0, 0)))
+                _td = _time.perf_counter()
                 sig_dev = jnp.asarray(np.ascontiguousarray(buf.T))
                 n_t = np.zeros(seg_tile, np.int32)
                 n_t[:nseg] = plan["n"][a:b]
@@ -1110,14 +1137,21 @@ def restore_file_streamed(audio_path, f0_hz=None, tolerance_st: float = 1.0,
                 padded = np.asarray(run_banded_sinc(
                     sig_dev, jnp.asarray(s_t), jnp.asarray(n_t),
                     jnp.asarray(bi_t), jnp.asarray(bf_t), max_n, nt, drift))
+                t_dev += _time.perf_counter() - _td
                 mask = np.arange(max_n)[None, :] < n_t[:, None]
                 tile_out = np.stack([padded[c][mask]
                                      for c in range(len(channels))], axis=-1)
+                _tw = _time.perf_counter()
                 take = min(len(tile_out), plan["n_out"] - written)
                 writer.write(tile_out[:take])
+                t_write += _time.perf_counter() - _tw
                 written += take
                 if written >= plan["n_out"]:
                     break
+        timings["pass2_s"] = _time.perf_counter() - _t0
+        timings["pass2_read_s"] = t_read
+        timings["pass2_device_dl_s"] = t_dev  # device compute + relay download
+        timings["pass2_write_s"] = t_write
     if resume and os.path.exists(ckpt_path):
         os.remove(ckpt_path)  # success: the checkpoint has served its purpose
     import logging

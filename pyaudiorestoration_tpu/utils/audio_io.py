@@ -20,7 +20,9 @@ import threading
 import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libaudioio.so")
+# AUDIOIO_LIB overrides the codec library path (e.g. an ASAN-instrumented
+# build for memory diagnostics); default is the in-tree make target.
+_LIB_PATH = os.environ.get("AUDIOIO_LIB") or os.path.join(_NATIVE_DIR, "libaudioio.so")
 
 _lib = None
 _lib_lock = threading.Lock()

@@ -8,7 +8,7 @@ spectrogram, which is UNIMPLEMENTED on the axon relay; only a real-device
 drive of that exact CLI flag caught it.  Reference surface inventory:
 the tool scripts at the reference root (pyrespeeder_gui.py etc.).
 
-Writes one JSON report (default docs/TPU_SMOKE_r04.json) and exits 2 if
+Writes one JSON report (default docs/TPU_SMOKE_r05.json) and exits 2 if
 any case fails.  ~10-25 min warm depending on the relay.
 """
 import argparse
@@ -122,7 +122,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="/tmp/tpu_smoke")
     ap.add_argument("--out", default=os.path.join(REPO, "docs",
-                                                  "TPU_SMOKE_r04.json"))
+                                                  "TPU_SMOKE_r05.json"))
     ap.add_argument("--only", help="substring filter on case names")
     args = ap.parse_args()
     make_fixtures(args.dir)

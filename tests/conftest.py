@@ -27,6 +27,35 @@ import pytest
 
 SAMPLES = pathlib.Path("/root/reference/samples")
 
+# --- memory-map budget guard (full-suite SIGSEGV root cause, round 5) -----
+# XLA:CPU JIT-compiles one host function per thunk, each costing ~3 mmap
+# entries (code + rodata + rw pages); a single distinct-shape sosfiltfilt
+# compile allocates ~2000 maps, and the ~30 distinct shapes across the suite
+# pushed the process past the kernel's vm.max_map_count (65530), killing
+# pytest with SIGSEGV inside a later compile (verified with a /proc/PID/maps
+# monitor: crash at maps=65531, 4/4 runs).  jax.clear_caches() releases the
+# executables and their code pages (measured 11366 -> 1059 maps).  Clear
+# only when the process nears the limit so compile-cache reuse survives
+# everywhere else.  30k leaves ~35k headroom for a single test's compiles
+# (the guard runs between tests; the largest observed single-test burst was
+# ~15k maps).
+_MAP_BUDGET = 30_000
+
+
+def _map_count():
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:  # non-procfs platform: the budget guard is a no-op
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _xla_map_budget():
+    yield
+    if _map_count() > _MAP_BUDGET:
+        jax.clear_caches()
+
 
 @pytest.fixture(scope="session")
 def samples_dir():
