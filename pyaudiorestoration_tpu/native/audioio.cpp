@@ -929,11 +929,20 @@ void write_flac_subframe(BitWriter& bw, const int64_t* x, uint32_t n, int bps) {
     return;
   }
   bw.put_bits((uint32_t)k, 4);
+  const uint64_t kmask = k ? ((1ull << k) - 1ull) : 0ull;
   for (uint32_t i = (uint32_t)best_order; i < n; ++i) {
     uint64_t u = best[i] >= 0 ? ((uint64_t)best[i] << 1)
                               : (((uint64_t)(-best[i]) << 1) - 1);
-    bw.put_unary((uint32_t)(u >> k));
-    if (k) bw.put_bits(u & ((1ull << k) - 1ull), k);
+    // one call per sample: q zeros, a one, then the k low bits — the same
+    // stream as put_unary + put_bits, fused while it fits the accumulator
+    uint64_t q = u >> k;
+    int nb = (int)q + 1 + k;
+    if (nb <= 56) {
+      bw.put_bits((1ull << k) | (u & kmask), nb);
+    } else {
+      bw.put_unary((uint32_t)q);
+      if (k) bw.put_bits(u & kmask, k);
+    }
   }
 }
 
@@ -997,6 +1006,9 @@ bool encode_flac_block(FILE* f, const float* data, uint32_t bs, int channels,
                cost2(chan[0]) + cost2(chan[1]);
     }
     BitWriter bw;
+    // one upfront allocation: worst realistic frame is ~5 bytes/sample
+    // (raw escape at <=40 bits); typical rice frames use far less
+    bw.bytes.reserve((size_t)bs * channels * 5 + 64);
     bw.put_bits(0x3FFE, 14);
     bw.put_bits(0, 1);  // reserved
     bw.put_bits(0, 1);  // fixed blocksize stream
