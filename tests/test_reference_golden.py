@@ -384,9 +384,12 @@ def test_xcorr_parabolic_golden(ref_correlation, rng):
     x = int(np.argmax(ref[1:-1])) + 1
     ref_xv, ref_yv = ref_correlation.parabolic(ref, x)
     our_xv, our_yv = correlation.parabolic(ref, x)
-    # ours evaluates on device in float32
-    assert float(our_xv) == pytest.approx(ref_xv, abs=1e-5)
-    assert float(our_yv) == pytest.approx(ref_yv, abs=1e-5)
+    # ours evaluates on device in float32: the vertex sits near |x| ~ 200-400
+    # where one f32 ulp is ~2-3e-5, so 1e-4 is the honest absolute bound (the
+    # old 1e-5 was below representable precision and passed only by draw —
+    # the shared session rng's state here depends on suite composition)
+    assert float(our_xv) == pytest.approx(ref_xv, abs=1e-4)
+    assert float(our_yv) == pytest.approx(ref_yv, abs=1e-4)
 
 
 def test_butter_bandpass_golden(ref_filters, rng):
