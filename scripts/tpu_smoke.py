@@ -145,10 +145,16 @@ def main():
             ok = False
         results.append(res)
         print(json.dumps(res), flush=True)
-    report = {"when": time.strftime("%Y-%m-%dT%H:%MZ", time.gmtime()),
-              "platform": "axon TPU relay (real device)",
-              "passed": sum(r["rc"] == 0 for r in results),
-              "total": len(results), "results": results}
+        # write after every case: a partial run (killed session, wedged
+        # relay) still leaves a truthful artifact showing how far it got
+        report = {"when": time.strftime("%Y-%m-%dT%H:%MZ", time.gmtime()),
+                  "platform": "axon TPU relay (real device)",
+                  "passed": sum(r["rc"] == 0 for r in results),
+                  "total": len(results), "results": results,
+                  "complete": False}
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+    report["complete"] = True
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(f"{report['passed']}/{report['total']} passed -> {args.out}")
