@@ -128,6 +128,7 @@ def build_parser():
     sp.add_argument("--bottom-freedom", type=float, default=2.0)
     sp.add_argument("--f-lower", type=float, default=3000.0)
     sp.add_argument("--f-upper", type=float, default=12000.0)
+    sp.add_argument("--suffix", default="")
     sp.add_argument("--stream", action="store_true",
                     help="force the blockwise larger-than-memory path")
 
@@ -153,6 +154,7 @@ def build_parser():
     sp.add_argument("--smoothing-s", type=float, default=0.11)
     sp.add_argument("--transition", type=float, default=0)
     sp.add_argument("--order", type=int, default=1)
+    sp.add_argument("--suffix", default="_decompressed")
     sp.add_argument("--stream", action="store_true",
                     help="force the blockwise larger-than-memory path")
 
@@ -180,6 +182,8 @@ def build_parser():
                     help="write a before/after masked-spectrogram image via "
                          "the re-mask-only fast path (no audio output)")
     _add_fft_args(sp, 1024, 4)
+    sp.add_argument("--suffix", default=None,
+                    help="output suffix (default: ' fft=<size>')")
     sp.add_argument("--stream", action="store_true",
                     help="force the blockwise larger-than-memory path")
 
@@ -190,6 +194,7 @@ def build_parser():
     sp.add_argument("--power", type=float, default=2.0)
     sp.add_argument("--margin", type=float, default=1.0)
     _add_fft_args(sp, 2048, 4)
+    sp.add_argument("--suffix", default="")
     sp.add_argument("--stream", action="store_true",
                     help="force the blockwise larger-than-memory path")
 
@@ -414,10 +419,13 @@ def _dispatch(args):
                     num_bands=args.num_bands,
                     bottom_freedom=args.bottom_freedom,
                     f_lower=args.f_lower, f_upper=args.f_upper,
+                    suffix=args.suffix,
                     stream=True if args.stream else "auto"))
             else:
-                outs.extend(dropouts.process_max_mono(path, args.fft_size,
-                                                      args.fft_overlap))
+                outs.extend(dropouts.process_max_mono(
+                    path, args.fft_size, args.fft_overlap,
+                    suffix=args.suffix,
+                    stream=True if args.stream else "auto"))
         print(json.dumps({"outputs": outs}))
     elif args.cmd == "view":
         import numpy as np
@@ -460,7 +468,7 @@ def _dispatch(args):
             args.input, channel_mode=args.channels, band_lower=args.band_lower,
             band_upper=args.band_upper, clip_lower=args.clip_lower,
             clip_upper=args.clip_upper, smoothing_s=args.smoothing_s,
-            transition=args.transition, order=args.order,
+            transition=args.transition, order=args.order, suffix=args.suffix,
             stream=True if args.stream else "auto")
         print(json.dumps({"outputs": [out]}))
     elif args.cmd == "humspeed":
@@ -514,7 +522,7 @@ def _dispatch(args):
                 args.input, noise_path=args.noise,
                 selection=tuple(args.selection) if args.selection else None,
                 gain=args.gain, overhead=args.overhead, fft_size=args.fft_size,
-                fft_overlap=args.fft_overlap,
+                fft_overlap=args.fft_overlap, suffix=args.suffix,
                 stream=True if args.stream else "auto")
             print(json.dumps({"outputs": [out]}))
     elif args.cmd == "hpss":
@@ -523,7 +531,7 @@ def _dispatch(args):
         for path in args.inputs:
             outs.extend(hpss_tool.separate_file(
                 path, args.fft_size, args.fft_overlap, args.kernel,
-                args.power, args.margin,
+                args.power, args.margin, suffix=args.suffix,
                 stream=True if args.stream else "auto"))
         print(json.dumps({"outputs": outs}))
     elif args.cmd == "listen":

@@ -481,8 +481,8 @@ def process_heuristic(file_path, fft_size=1024, fft_overlap=4, max_width=0.02,
     return audio_io.write_file(file_path, signal, sr, num_channels, suffix=suffix or "_out")
 
 
-def process_max_mono(file_path, fft_size=1024, fft_overlap=4, stream="auto",
-                     stream_threshold_bytes: int = 1 << 30):
+def process_max_mono(file_path, fft_size=1024, fft_overlap=4, suffix="",
+                     stream="auto", stream_threshold_bytes: int = 1 << 30):
     """Stereo -> mono folds keeping the per-bin max (and min) channel
     (dropouts_gui.py:137-163). Returns the two output paths.
 
@@ -505,7 +505,7 @@ def process_max_mono(file_path, fft_size=1024, fft_overlap=4, stream="auto",
 
         base, _ = os.path.splitext(file_path)
         ext = audio_io.out_ext()
-        outs = [f"{base}max.{ext}", f"{base}min.{ext}"]
+        outs = [f"{base}max{suffix}.{ext}", f"{base}min{suffix}.{ext}"]
         with audio_io.StreamReader(file_path) as r:
             if r.channels != 2:
                 raise ValueError("expects stereo input")
@@ -527,5 +527,6 @@ def process_max_mono(file_path, fft_size=1024, fft_overlap=4, stream="auto",
                           ("min", jnp.abs(D_L) < jnp.abs(D_R))):
         D_out = jnp.where(mask, D_L, D_R)
         y_out = np.asarray(fourier.istft(D_out, length=n, hop_length=hop))
-        paths.append(audio_io.write_file(file_path, y_out, sr, 1, suffix=op_type))
+        paths.append(audio_io.write_file(file_path, y_out, sr, 1,
+                                         suffix=op_type + suffix))
     return paths

@@ -33,8 +33,8 @@ def separate(signal, sr, fft_size=2048, fft_overlap=4, kernel_size=31, power=2.0
 
 
 def separate_file(file_path, fft_size=2048, fft_overlap=4, kernel_size=31,
-                  power=2.0, margin=1.0, channels=None, stream="auto",
-                  stream_threshold_bytes: int = 1 << 30):
+                  power=2.0, margin=1.0, channels=None, suffix="",
+                  stream="auto", stream_threshold_bytes: int = 1 << 30):
     """Write the separated components next to the input. Returns paths.
 
     ``stream``: True forces the blockwise larger-than-memory path (one pass,
@@ -44,19 +44,21 @@ def separate_file(file_path, fft_size=2048, fft_overlap=4, kernel_size=31,
 
     if streaming.should_stream(file_path, stream, stream_threshold_bytes):
         return _separate_file_streamed(file_path, fft_size, fft_overlap,
-                                       kernel_size, power, margin, channels)
+                                       kernel_size, power, margin, channels,
+                                       suffix)
     signal, sr, num_channels = audio_io.read_file(file_path)
     H, P, R = separate(signal, sr, fft_size, fft_overlap, kernel_size, power,
                        margin, channels)
-    paths = [audio_io.write_file(file_path, H, sr, H.shape[1], "_H"),
-             audio_io.write_file(file_path, P, sr, P.shape[1], "_P")]
+    paths = [audio_io.write_file(file_path, H, sr, H.shape[1], "_H" + suffix),
+             audio_io.write_file(file_path, P, sr, P.shape[1], "_P" + suffix)]
     if margin > 1.0:
-        paths.append(audio_io.write_file(file_path, R, sr, R.shape[1], "_R"))
+        paths.append(audio_io.write_file(file_path, R, sr, R.shape[1],
+                                         "_R" + suffix))
     return paths
 
 
 def _separate_file_streamed(file_path, fft_size, fft_overlap, kernel_size,
-                            power, margin, channels):
+                            power, margin, channels, suffix=""):
     """Streamed HPSS: the harmonic median filter runs along time, so each
     block carries a ``kernel_size//2``-frame mask halo
     (utils/streaming.stream_masked_stft's ``mask_halo_frames``); H/P(/R)
@@ -83,9 +85,9 @@ def _separate_file_streamed(file_path, fft_size, fft_overlap, kernel_size,
 
     base, _ = os.path.splitext(file_path)
     ext = audio_io.out_ext()
-    out_paths = [f"{base}_H.{ext}", f"{base}_P.{ext}"]
+    out_paths = [f"{base}_H{suffix}.{ext}", f"{base}_P{suffix}.{ext}"]
     if margin > 1.0:
-        out_paths.append(f"{base}_R.{ext}")
+        out_paths.append(f"{base}_R{suffix}.{ext}")
     return streaming.stream_masked_stft(
         file_path, out_paths, make_fac, fft_size, hop, chans,
         mask_halo_frames=kernel_size // 2 + 1)

@@ -72,7 +72,10 @@ def cases(d):
     dropp = j("dropouts_sample.drop")
     wow, wow2 = j("wow.wav"), j("wow2.wav")
     return [
-        ("doctor", ["doctor"], 420),
+        # 360 s probe budget: a cold/contended relay takes >120 s (the
+        # default) to init + run the tiny op, and the case right after a
+        # false doctor timeout routinely passes on the device
+        ("doctor", ["doctor", "--device-timeout", "360"], 420),
         ("respeed", ["respeed", wow, "--fft-size", "2048", "--fft-overlap",
                      "8", "--zeropad", "2", "--sinc-quality", "16",
                      "--save-project"], 600),
