@@ -28,11 +28,18 @@ def _pairwise(it):
     return zip(a, b)
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _bandify(x, H, n: int):
-    """Apply a stack of zero-phase band responses H (num_bands, n_rfft) to x."""
-    X = jnp.fft.rfft(x, n=n)
-    return jnp.fft.irfft(X[None, :] * H, n=n)
+@functools.partial(jax.jit, static_argnames=("n", "n_fft"))
+def _bandify(x, H, n: int, n_fft: int):
+    """Apply a stack of zero-phase band responses H (num_bands, n_rfft) to x.
+
+    ``n_fft`` must be a power of two >= n: XLA:TPU lowers awkward FFT
+    lengths (e.g. 66150 = 3 s at 22.05 kHz) to a DFT-style matmul that
+    materializes an n x n matrix — 17 GB at 3 s, found OOMing on the real
+    device by the CLI smoke harness.  Zero-padding to a radix-2 length both
+    avoids that and removes circular wrap-around from the band filtering.
+    """
+    X = jnp.fft.rfft(x, n=n_fft)
+    return jnp.fft.irfft(X[None, :] * H, n=n_fft)[:, :n]
 
 
 def band_delays(ref_sig, src_sig, sr, f_lower=10.0, f_upper=2000.0,
@@ -45,10 +52,11 @@ def band_delays(ref_sig, src_sig, sr, f_lower=10.0, f_upper=2000.0,
     n = min(len(ref_sig), len(src_sig))
     ref = np.asarray(ref_sig[:n], np.float32)
     src = np.asarray(src_sig[:n], np.float32)
+    n_fft = 1 << (n - 1).bit_length()
     num_bands = int((f_upper - f_lower) / bandwidth)
     band_limits = np.logspace(np.log2(f_lower), np.log2(f_upper), num=num_bands,
                               endpoint=True, base=2)
-    freqs = np.fft.rfftfreq(n, 1 / sr)
+    freqs = np.fft.rfftfreq(n_fft, 1 / sr)
     responses = []
     centers = []
     for lo, hi in _pairwise(band_limits):
@@ -58,8 +66,8 @@ def band_delays(ref_sig, src_sig, sr, f_lower=10.0, f_upper=2000.0,
         responses.append(np.abs(h) ** 2)  # zero-phase (filtfilt magnitude)
         centers.append((lo + hi) / 2)
     H = jnp.asarray(np.stack(responses).astype(np.float32))
-    ref_bands = _bandify(jnp.asarray(ref), H, n)
-    src_bands = _bandify(jnp.asarray(src), H, n)
+    ref_bands = _bandify(jnp.asarray(ref), H, n, n_fft)
+    src_bands = _bandify(jnp.asarray(src), H, n, n_fft)
     delays, corrs = correlation.find_delay_batch(ref_bands, src_bands)
     ref_rms = np.sqrt(np.mean(np.square(np.asarray(ref_bands)), axis=1))
     src_rms = np.sqrt(np.mean(np.square(np.asarray(src_bands)), axis=1))
