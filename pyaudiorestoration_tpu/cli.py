@@ -43,6 +43,10 @@ def build_parser():
                    help="write outputs as FLAC (native encoder) instead of "
                         "float32 WAV; optional bit depth 16 or 24 (default 24)."
                         " Applies to in-memory AND streamed export paths")
+    p.add_argument("--flac-fast", action="store_true",
+                   help="with --flac-out: fixed-predictor-only encoding "
+                        "(like `flac -0`) — ~20%% faster encode and ~2.5x "
+                        "faster decode of the produced archive, ~1/3 larger")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("respeed", help="wow & flutter removal (pyrespeeder)")
@@ -300,7 +304,8 @@ def main(argv=None):
     if args.flac_out is not None:
         from .utils import audio_io
 
-        audio_io.set_output_format("flac", bits=args.flac_out)
+        audio_io.set_output_format("flac", bits=args.flac_out,
+                                   level=0 if args.flac_fast else 1)
     try:
         return _dispatch(args)
     except (OSError, ValueError) as e:

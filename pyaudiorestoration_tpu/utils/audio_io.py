@@ -89,10 +89,12 @@ def _get_lib():
         lib.audioio_write_flac.restype = ctypes.c_int
         lib.audioio_write_flac.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
-            ctypes.c_longlong, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            ctypes.c_longlong, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
         lib.audioio_flac_wopen.restype = ctypes.c_void_p
         lib.audioio_flac_wopen.argtypes = [
-            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
         lib.audioio_flac_wwrite.restype = ctypes.c_int
         lib.audioio_flac_wwrite.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_longlong]
@@ -275,7 +277,7 @@ class FlacStreamWriter:
     StreamWriter; quantizes to ``bits`` (16 or 24).
     """
 
-    def __init__(self, path, sr, channels, bits=24):
+    def __init__(self, path, sr, channels, bits=24, level=1):
         lib = _get_lib()
         if lib is None:
             raise OSError("native audioio unavailable (FLAC needs it)")
@@ -284,9 +286,10 @@ class FlacStreamWriter:
         self.sr = int(sr)
         self.channels = int(channels)
         self.bits = int(bits)
+        self.level = int(level)
         self.frames = 0
         self._h = lib.audioio_flac_wopen(os.fsencode(path), self.channels,
-                                         self.sr, self.bits)
+                                         self.sr, self.bits, self.level)
         if not self._h:
             raise OSError(f"Cannot open FLAC writer for {path}")
 
@@ -327,11 +330,16 @@ class FlacStreamWriter:
             pass
 
 
-def open_writer(path, sr, channels, bits=24):
+def open_writer(path, sr, channels, bits=None, level=None):
     """Streaming writer for ``path`` chosen by extension: ``.flac`` gets the
-    native incremental FLAC encoder, anything else float32 WAV/RF64."""
+    native incremental FLAC encoder (``level``: 0 fast / 1 small), anything
+    else float32 WAV/RF64.  ``bits``/``level`` default to the process-wide
+    :func:`set_output_format` settings so ``--flac-out BITS --flac-fast``
+    applies to streamed exports exactly like in-memory ones."""
     if str(path).lower().endswith(".flac"):
-        return FlacStreamWriter(path, sr, channels, bits=bits)
+        return FlacStreamWriter(path, sr, channels,
+                                bits=_OUT_FLAC_BITS if bits is None else bits,
+                                level=_OUT_FLAC_LEVEL if level is None else level)
     return StreamWriter(path, sr, channels)
 
 
@@ -375,13 +383,17 @@ def read_file(audio_path):
     return data, int(sr), data.shape[1]
 
 
-def write_flac(path, signal, sr, bits_per_sample=16):
+def write_flac(path, signal, sr, bits_per_sample=16, level=1):
     """Write a FLAC file (fixed predictors + rice residuals, native encoder).
 
     The reference can only write WAV (io_ops.py:19-23); tape archives live
     as FLAC, so the framework writes the archive format too.  ``signal``:
     (n,) or (n, C) float in [-1, 1], quantized to 16 or 24 bits.  Verified
-    bit-exact through the native decoder (tests/test_audio_io.py)."""
+    bit-exact through the native decoder (tests/test_audio_io.py).
+
+    ``level`` trades compression for codec speed like the flac tool's
+    -0/-8 presets: 0 = fixed predictors only (fast encode AND ~2.5x faster
+    decode of the produced file), 1 = +LPC candidate (default, smallest)."""
     import ctypes
 
     lib = _get_lib()
@@ -390,7 +402,7 @@ def write_flac(path, signal, sr, bits_per_sample=16):
         x = x[:, None]
     rc = lib.audioio_write_flac(
         str(path).encode(), x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        x.shape[0], x.shape[1], int(sr), int(bits_per_sample))
+        x.shape[0], x.shape[1], int(sr), int(bits_per_sample), int(level))
     if rc != 0:
         raise OSError(f"FLAC write failed ({rc}) for {path}")
     return path
@@ -423,18 +435,23 @@ def write_wav(path, signal, sr, subtype="FLOAT"):
 # archive format without threading a parameter through nine tools
 _OUT_FORMAT = "wav"
 _OUT_FLAC_BITS = 24
+_OUT_FLAC_LEVEL = 1
 
 
-def set_output_format(fmt, bits=24):
+def set_output_format(fmt, bits=24, level=1):
     """Select the export container for write_file: "wav" (float32, default)
-    or "flac" (native encoder, quantized to ``bits`` — 16 or 24)."""
-    global _OUT_FORMAT, _OUT_FLAC_BITS
+    or "flac" (native encoder, quantized to ``bits`` — 16 or 24).  ``level``
+    is the FLAC speed/size preset (0 = fixed-only fast, 1 = +LPC)."""
+    global _OUT_FORMAT, _OUT_FLAC_BITS, _OUT_FLAC_LEVEL
     if fmt not in ("wav", "flac"):
         raise ValueError(f"unknown output format {fmt!r}")
     if fmt == "flac" and bits not in (16, 24):
         raise ValueError("FLAC output must be 16 or 24 bit")
+    if level not in (0, 1):
+        raise ValueError("FLAC level must be 0 (fast) or 1 (small)")
     _OUT_FORMAT = fmt
     _OUT_FLAC_BITS = int(bits)
+    _OUT_FLAC_LEVEL = int(level)
 
 
 def out_ext():
@@ -452,7 +469,7 @@ def write_file(audio_path, signal, sr, channels=None, suffix="_out"):
     """
     out_path = f"{os.path.splitext(audio_path)[0]}{suffix}.{_OUT_FORMAT}"
     if _OUT_FORMAT == "flac":
-        write_flac(out_path, signal, sr, _OUT_FLAC_BITS)
+        write_flac(out_path, signal, sr, _OUT_FLAC_BITS, _OUT_FLAC_LEVEL)
     else:
         write_wav(out_path, signal, sr)
     logging.info(f"Wrote {out_path}")

@@ -152,14 +152,35 @@ def main():
                        out_np, sr)
     disk_write_s = time.perf_counter() - t0
 
-    # FLAC codec legs on the same take (single-core box; separate line items)
-    t0 = time.perf_counter()
-    xf, _, _ = audio_io.read_file(in_flac)
-    read_flac_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    audio_io.write_flac(os.path.join(args.workdir, "take_res.flac"),
-                        xf[: warm["n_out"]], sr)
-    write_flac_s = time.perf_counter() - t0
+    # FLAC codec legs on the same take (single-core box; separate line items).
+    # Both presets are measured: level 1 (+LPC, archival) and level 0
+    # (fixed-only, `flac -0`-style — ~2.5x faster decode); the level-0 leg
+    # re-encodes in.flac at level 0 first so its READ leg also measures a
+    # level-0 stream, i.e. each row is a self-consistent interchange format.
+    flac_rows = {}
+    for level in (1, 0):
+        in_l = in_flac
+        if level == 0:
+            in_l = os.path.join(args.workdir, "take_l0.flac")
+            xf0, _, _ = audio_io.read_file(in_flac)
+            audio_io.write_flac(in_l, xf0, sr, level=0)
+            del xf0
+        t0 = time.perf_counter()
+        xf, _, _ = audio_io.read_file(in_l)
+        read_flac_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        audio_io.write_flac(os.path.join(args.workdir, "take_res.flac"),
+                            xf[: warm["n_out"]], sr, level=level)
+        write_flac_s = time.perf_counter() - t0
+        core_l = (read_flac_s + warm["probe_s"] + warm["device_s"]
+                  + write_flac_s)
+        flac_rows[f"level{level}"] = {
+            "read_flac_s": read_flac_s,
+            "write_flac_s": write_flac_s,
+            "rtf_core_flac": audio_seconds / core_l,
+        }
+    read_flac_s = flac_rows["level1"]["read_flac_s"]
+    write_flac_s = flac_rows["level1"]["write_flac_s"]
     core_flac = (read_flac_s + warm["probe_s"] + warm["device_s"]
                  + write_flac_s)
 
@@ -173,7 +194,8 @@ def main():
         "warm": warm,
         "flac_legs": {"read_flac_s": read_flac_s,
                       "write_flac_s": write_flac_s,
-                      "rtf_core_flac": audio_seconds / core_flac},
+                      "rtf_core_flac": audio_seconds / core_flac,
+                      "per_level": flac_rows},
         "disk_write_s": disk_write_s,
         "rtf_warm": warm["rtf_core"],
         "host_cores": os.cpu_count(),

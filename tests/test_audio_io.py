@@ -380,3 +380,57 @@ def test_flac_index_sidecar_same_size_replacement(tmp_path, monkeypatch):
     full_b, _, _ = audio_io.read_file(pb)
     np.testing.assert_array_equal(got_b, full_b[5000:6000])
     assert not np.array_equal(got_a, got_b)
+
+
+def test_flac_level0_fast_preset(tmp_path):
+    """level=0 (fixed predictors only, like `flac -0`) must produce a valid
+    stream that round-trips exactly like level=1, never smaller than it, and
+    the streamed writer must honour the preset (byte-identical to one-shot
+    at the same level).  Reference role: io_ops.py:7-23 (FLAC interchange)."""
+    sr = 16000
+    rng = np.random.default_rng(11)
+    t = np.arange(30000) / sr
+    sig = (0.6 * np.sin(2 * np.pi * 440 * t)
+           + 0.01 * rng.standard_normal(t.size))
+    x = np.stack([sig, 0.5 * sig], -1).astype(np.float32)
+    p0 = str(tmp_path / "l0.flac")
+    p1 = str(tmp_path / "l1.flac")
+    audio_io.write_flac(p0, x, sr, bits_per_sample=16, level=0)
+    audio_io.write_flac(p1, x, sr, bits_per_sample=16, level=1)
+    b0, sr0, _ = audio_io.read_file(p0)
+    b1, sr1, _ = audio_io.read_file(p1)
+    assert sr0 == sr1 == sr
+    np.testing.assert_array_equal(b0, b1)  # same quantized samples
+    # LPC can only shrink the stream; a tonal signal must show it
+    assert os.path.getsize(p1) < os.path.getsize(p0)
+    # streamed writer at level 0 is byte-identical to the one-shot encoder
+    ps = str(tmp_path / "l0_stream.flac")
+    with audio_io.FlacStreamWriter(ps, sr, 2, bits=16, level=0) as w:
+        for i in range(0, len(x), 5000):
+            w.write(x[i:i + 5000])
+    with open(p0, "rb") as fa, open(ps, "rb") as fb:
+        assert fa.read() == fb.read()
+
+
+def test_flac_level_plumbs_through_output_format(tmp_path, rng):
+    """set_output_format(level=0) reaches both write_file and open_writer;
+    invalid levels are rejected."""
+    sig = (0.1 * rng.standard_normal(12000)).astype(np.float32)
+    src = str(tmp_path / "in.wav")
+    audio_io.write_wav(src, sig, 16000)
+    try:
+        audio_io.set_output_format("flac", bits=16, level=0)
+        out = audio_io.write_file(src, sig, 16000, suffix="_f")
+        assert out.endswith("_f.flac")
+        with audio_io.open_writer(str(tmp_path / "s.flac"), 16000, 1) as w:
+            assert w.level == 0 and w.bits == 16
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            audio_io.set_output_format("flac", level=7)
+    finally:
+        audio_io.set_output_format("wav")
+    back, _, _ = audio_io.read_file(out)
+    x64 = sig.astype(np.float64)
+    q = np.clip(np.trunc(np.abs(x64) * 32768 + 0.5) * np.sign(x64),
+                -32768, 32767)  # encoder rounds half away from zero
+    np.testing.assert_array_equal(back[:, 0].astype(np.float64) * 32768, q)
