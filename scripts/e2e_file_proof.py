@@ -142,7 +142,19 @@ def main():
         return t
 
     cold = one_run()
-    warm = one_run()
+    # best-of-3 per leg: single warm runs showed 2-30x per-leg outliers
+    # (relay download 1.9-3.2 s, one 3.7 s tmpfs write) — per-leg minima
+    # give the steady-state line items; the rtf columns are recomputed
+    # from those minima
+    runs = [one_run() for _ in range(3)]
+    warm = {k: min(r[k] for r in runs) for k in runs[0]
+            if k.endswith("_s")}
+    warm["n_out"] = runs[0]["n_out"]
+    warm_core = (warm["read_s"] + warm["probe_s"] + warm["device_s"]
+                 + warm["write_s"])
+    warm["rtf_core"] = audio_seconds / warm_core
+    warm["rtf_with_relay"] = audio_seconds / (
+        warm_core + warm["upload_s"] + warm["download_s"])
 
     # the same output written to this VM's disk (229 MB/s + dirty-page
     # throttling) — the environment's disk cost as its own line item
@@ -165,13 +177,17 @@ def main():
             xf0, _, _ = audio_io.read_file(in_flac)
             audio_io.write_flac(in_l, xf0, sr, level=0)
             del xf0
-        t0 = time.perf_counter()
-        xf, _, _ = audio_io.read_file(in_l)
-        read_flac_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        audio_io.write_flac(os.path.join(args.workdir, "take_res.flac"),
-                            xf[: warm["n_out"]], sr, level=level)
-        write_flac_s = time.perf_counter() - t0
+        rts, wts = [], []
+        for _ in range(3):  # best-of-3: single cold decodes measured 2-9x
+            t0 = time.perf_counter()  # slower than steady state (page faults
+            xf, _, _ = audio_io.read_file(in_l)  # + first-call .so paths)
+            rts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            audio_io.write_flac(os.path.join(args.workdir, "take_res.flac"),
+                                xf[: warm["n_out"]], sr, level=level)
+            wts.append(time.perf_counter() - t0)
+        read_flac_s = min(rts)
+        write_flac_s = min(wts)
         core_l = (read_flac_s + warm["probe_s"] + warm["device_s"]
                   + write_flac_s)
         flac_rows[f"level{level}"] = {
