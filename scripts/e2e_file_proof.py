@@ -129,6 +129,13 @@ def main():
         out_np = np.asarray(out_dev)  # relay download of the compacted take
         t["download_s"] = time.perf_counter() - t0
 
+        # drop every live device buffer BEFORE timing the host write: with
+        # intermediates alive, the relay client's background bookkeeping
+        # contends for this box's single core (a 52 MB tmpfs write measured
+        # 4.2 s with buffers live vs ~60 ms without; production PCIe has no
+        # such agent, so the isolated number is the honest line item)
+        del sig_dev, xt_dev, NLs, NUs, speeds, nn, bi, bf
+        del padded, out_dev, n_out_dev
         t0 = time.perf_counter()
         out_path = os.path.join(args.workdir, "take_res.wav")
         audio_io.write_wav(out_path, out_np[:n_out], sr2)  # contiguous prefix
