@@ -495,10 +495,22 @@ bool decode_flac(const uint8_t* buf, size_t n, AudioData& out) {
     size_t base = (size_t)out.frames * info.channels;
     size_t need = base + (size_t)block_size * info.channels;
     if (out.samples.size() < need) out.samples.resize(need);
-    for (uint32_t i = 0; i < block_size; ++i)
-      for (uint32_t c = 0; c < info.channels; ++c)
-        out.samples[base + (size_t)i * info.channels + c] =
-            (float)(chan[c][i] * scale);
+    if (info.channels == 2) {
+      // specialized stereo interleave: the generic nested loop re-tests the
+      // 2-trip channel loop per sample and defeats vectorization
+      const int64_t* c0 = chan[0].data();
+      const int64_t* c1 = chan[1].data();
+      float* dst = out.samples.data() + base;
+      for (uint32_t i = 0; i < block_size; ++i) {
+        dst[2 * (size_t)i] = (float)(c0[i] * scale);
+        dst[2 * (size_t)i + 1] = (float)(c1[i] * scale);
+      }
+    } else {
+      for (uint32_t i = 0; i < block_size; ++i)
+        for (uint32_t c = 0; c < info.channels; ++c)
+          out.samples[base + (size_t)i * info.channels + c] =
+              (float)(chan[c][i] * scale);
+    }
     out.frames += block_size;
     if (info.total_samples && (uint64_t)out.frames >= info.total_samples) break;
   }
@@ -749,16 +761,27 @@ struct Crc8Table {
   }
 };
 
+// Slice-by-8 CRC-16: the byte-at-a-time table walk is one dependent
+// load per byte (~10 cycles of load-to-use latency on this core, measured
+// 26 ms per 34 s stereo take).  t[0] is the classic table; t[k][v] is the
+// CRC of byte v followed by k zero bytes, so eight independent lookups
+// cover 8 input bytes per iteration and the dependency chain shrinks 8x.
+// Same polynomial (x^16+x^15+x^2+1) — the value is bit-identical.
 struct Crc16Table {
-  uint16_t t[256];
+  uint16_t t[8][256];
   Crc16Table() {
     for (int v = 0; v < 256; ++v) {
       uint16_t crc = (uint16_t)(v << 8);
       for (int b = 0; b < 8; ++b)
         crc = (crc & 0x8000u) ? (uint16_t)((crc << 1) ^ 0x8005u)
                               : (uint16_t)(crc << 1);
-      t[v] = crc;
+      t[0][v] = crc;
     }
+    for (int k = 1; k < 8; ++k)
+      for (int v = 0; v < 256; ++v) {
+        uint16_t c = t[k - 1][v];
+        t[k][v] = (uint16_t)((c << 8) ^ t[0][c >> 8]);
+      }
   }
 };
 
@@ -772,8 +795,16 @@ uint8_t flac_crc8(const uint8_t* d, size_t n) {
 uint16_t flac_crc16(const uint8_t* d, size_t n) {
   static const Crc16Table kT;
   uint16_t crc = 0;
-  for (size_t i = 0; i < n; ++i)
-    crc = (uint16_t)((crc << 8) ^ kT.t[(crc >> 8) ^ d[i]]);
+  size_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    crc = (uint16_t)(kT.t[7][((crc >> 8) ^ d[i]) & 0xFF] ^
+                     kT.t[6][((crc & 0xFF) ^ d[i + 1])] ^
+                     kT.t[5][d[i + 2]] ^ kT.t[4][d[i + 3]] ^
+                     kT.t[3][d[i + 4]] ^ kT.t[2][d[i + 5]] ^
+                     kT.t[1][d[i + 6]] ^ kT.t[0][d[i + 7]]);
+  }
+  for (; i < n; ++i)
+    crc = (uint16_t)((crc << 8) ^ kT.t[0][(crc >> 8) ^ d[i]]);
   return crc;
 }
 
@@ -800,29 +831,6 @@ void put_utf8_coded(BitWriter& bw, uint64_t v) {
 }
 
 // residual after a fixed predictor of the given order
-void fixed_residual(const int64_t* x, uint32_t n, int order, int64_t* r) {
-  switch (order) {
-    case 0:
-      for (uint32_t i = 0; i < n; ++i) r[i] = x[i];
-      break;
-    case 1:
-      for (uint32_t i = 1; i < n; ++i) r[i] = x[i] - x[i - 1];
-      break;
-    case 2:
-      for (uint32_t i = 2; i < n; ++i)
-        r[i] = x[i] - 2 * x[i - 1] + x[i - 2];
-      break;
-    case 3:
-      for (uint32_t i = 3; i < n; ++i)
-        r[i] = x[i] - 3 * x[i - 1] + 3 * x[i - 2] - x[i - 3];
-      break;
-    default:
-      for (uint32_t i = 4; i < n; ++i)
-        r[i] = x[i] - 4 * x[i - 1] + 6 * x[i - 2] - 4 * x[i - 3] + x[i - 4];
-      break;
-  }
-}
-
 // Levinson-Durbin LPC fit (double autocorrelation); false on degenerate
 // input.
 bool compute_lpc(const int64_t* x, uint32_t n, int order, double* lpc) {
@@ -869,27 +877,21 @@ bool compute_lpc(const int64_t* x, uint32_t n, int order, double* lpc) {
 
 void write_flac_subframe(BitWriter& bw, const int64_t* x, uint32_t n, int bps,
                          bool try_lpc) {
-  // constant?
-  bool constant = true;
-  for (uint32_t i = 1; i < n && constant; ++i) constant = x[i] == x[0];
   bw.put_bits(0, 1);  // padding
-  if (constant) {
-    bw.put_bits(0, 6);  // CONSTANT
-    bw.put_bits(0, 1);  // no wasted bits
-    bw.put_bits((uint64_t)x[0] & ((bps < 64 ? (1ull << bps) : 0ull) - 1ull), bps);
-    return;
-  }
   // pick the fixed order with the smallest total |residual|: all five order
   // costs in ONE forward pass over x via the binomial residual formulas
   // (no loop-carried state, so the int64 lanes vectorize), replacing the
   // old five in-place differencing passes.  Integer cost sums are exact
   // (a 4096-sample block of 33-bit residuals tops out near 2^45).
+  // The same pass detects a CONSTANT subframe for free: c[1] == 0 iff
+  // sum |x[i] - x[i-1]| == 0 iff every sample equals x[0] — the old
+  // dedicated scan was a whole extra pass on the non-constant (i.e. every
+  // real) block.
   thread_local std::vector<int64_t> best;
-  best.resize(n);
   int best_order = 0;
   long double best_cost = -1;
+  uint64_t c[5] = {0, 0, 0, 0, 0};
   {
-    uint64_t c[5] = {0, 0, 0, 0, 0};
     auto uabs = [](int64_t v) { return v < 0 ? (uint64_t)(-v) : (uint64_t)v; };
     for (uint32_t i = 0; i < n && i < 4; ++i) {
       c[0] += uabs(x[i]);
@@ -905,6 +907,13 @@ void write_flac_subframe(BitWriter& bw, const int64_t* x, uint32_t n, int bps,
       c[2] += uabs(x0 - 2 * x1 + x2);
       c[3] += uabs(x0 - 3 * x1 + 3 * x2 - x3);
       c[4] += uabs(x0 - 4 * x1 + 6 * x2 - 4 * x3 + x4);
+    }
+    if (n == 1 || c[1] == 0) {  // constant (n == 1 trivially so)
+      bw.put_bits(0, 6);  // CONSTANT
+      bw.put_bits(0, 1);  // no wasted bits
+      bw.put_bits((uint64_t)x[0] & ((bps < 64 ? (1ull << bps) : 0ull) - 1ull),
+                  bps);
+      return;
     }
     for (int order = 0; order <= 4 && (uint32_t)order < n; ++order) {
       if (best_cost < 0 || (long double)c[order] < best_cost) {
@@ -971,12 +980,55 @@ void write_flac_subframe(BitWriter& bw, const int64_t* x, uint32_t n, int bps,
       }
     }
   }
-  if (!use_lpc) fixed_residual(x, n, best_order, best.data());
   uint32_t count = n - (uint32_t)best_order;
   // rice parameter from the mean magnitude
   long double mean = best_cost / (count ? count : 1) + 1;
   int k = 0;
   while ((1ll << (k + 1)) < mean && k < 14) ++k;
+  // ONE fused pass producing the zigzag codes the packer consumes directly,
+  // plus the rice-vs-raw statistics: for the fixed path the residual is
+  // computed in-flight (the old flow materialized it with fixed_residual,
+  // then re-walked it once for the stats and once more inside the pack
+  // loop, re-zigzagging both times — three passes where one suffices).
+  thread_local std::vector<uint64_t> uzz;
+  uzz.resize(n);
+  uint64_t rice_bits = 0;
+  uint64_t umax = 0;
+  {
+    auto zz = [](int64_t r) {
+      return r >= 0 ? ((uint64_t)r << 1) : (((uint64_t)(-r) << 1) - 1);
+    };
+    uint64_t* u = uzz.data();
+    if (use_lpc) {
+      for (uint32_t i = (uint32_t)best_order; i < n; ++i) u[i] = zz(best[i]);
+    } else {
+      switch (best_order) {
+        case 0:
+          for (uint32_t i = 0; i < n; ++i) u[i] = zz(x[i]);
+          break;
+        case 1:
+          for (uint32_t i = 1; i < n; ++i) u[i] = zz(x[i] - x[i - 1]);
+          break;
+        case 2:
+          for (uint32_t i = 2; i < n; ++i)
+            u[i] = zz(x[i] - 2 * x[i - 1] + x[i - 2]);
+          break;
+        case 3:
+          for (uint32_t i = 3; i < n; ++i)
+            u[i] = zz(x[i] - 3 * x[i - 1] + 3 * x[i - 2] - x[i - 3]);
+          break;
+        default:
+          for (uint32_t i = 4; i < n; ++i)
+            u[i] = zz(x[i] - 4 * x[i - 1] + 6 * x[i - 2] - 4 * x[i - 3] +
+                      x[i - 4]);
+          break;
+      }
+    }
+    for (uint32_t i = (uint32_t)best_order; i < n; ++i) {
+      rice_bits += (u[i] >> k) + 1 + (uint64_t)k;
+      if (u[i] > umax) umax = u[i];
+    }
+  }
   if (use_lpc) {
     bw.put_bits(32u | (uint32_t)(kLpcOrder - 1), 6);  // LPC
     bw.put_bits(0, 1);                                // no wasted bits
@@ -997,14 +1049,7 @@ void write_flac_subframe(BitWriter& bw, const int64_t* x, uint32_t n, int bps,
   // escape to raw if rice would explode (k capped at 14; 15 = escape).
   // NB: order-r fixed residuals can need up to bps + r + 1 bits, so the raw
   // width comes from the actual maximum, not from bps.
-  uint64_t rice_bits = 0;
-  uint64_t umax = 0;
-  for (uint32_t i = (uint32_t)best_order; i < n; ++i) {
-    uint64_t u = best[i] >= 0 ? ((uint64_t)best[i] << 1)
-                              : (((uint64_t)(-best[i]) << 1) - 1);
-    rice_bits += (u >> k) + 1 + (uint64_t)k;
-    if (u > umax) umax = u;
-  }
+  const uint64_t* u = uzz.data();
   int raw_bits = 1;
   while (raw_bits < 40 && (umax >> raw_bits)) ++raw_bits;
   ++raw_bits;  // sign bit (u is the zigzag magnitude; residual needs one more)
@@ -1016,24 +1061,26 @@ void write_flac_subframe(BitWriter& bw, const int64_t* x, uint32_t n, int bps,
       rice_bits > (uint64_t)count * (uint64_t)raw_bits) {
     bw.put_bits(0xF, 4);  // escape: raw residuals
     bw.put_bits((uint32_t)raw_bits, 5);
-    for (uint32_t i = (uint32_t)best_order; i < n; ++i)
-      bw.put_bits((uint64_t)best[i] & ((1ull << raw_bits) - 1ull), raw_bits);
+    for (uint32_t i = (uint32_t)best_order; i < n; ++i) {
+      // un-zigzag: identical two's-complement bytes to the old
+      // residual-array write
+      int64_t r = (int64_t)(u[i] >> 1) ^ -(int64_t)(u[i] & 1);
+      bw.put_bits((uint64_t)r & ((1ull << raw_bits) - 1ull), raw_bits);
+    }
     return;
   }
   bw.put_bits((uint32_t)k, 4);
   const uint64_t kmask = k ? ((1ull << k) - 1ull) : 0ull;
   for (uint32_t i = (uint32_t)best_order; i < n; ++i) {
-    uint64_t u = best[i] >= 0 ? ((uint64_t)best[i] << 1)
-                              : (((uint64_t)(-best[i]) << 1) - 1);
     // one call per sample: q zeros, a one, then the k low bits — the same
     // stream as put_unary + put_bits, fused while it fits the accumulator
-    uint64_t q = u >> k;
+    uint64_t q = u[i] >> k;
     int nb = (int)q + 1 + k;
     if (nb <= 56) {
-      bw.put_bits((1ull << k) | (u & kmask), nb);
+      bw.put_bits((1ull << k) | (u[i] & kmask), nb);
     } else {
       bw.put_unary((uint32_t)q);
-      if (k) bw.put_bits(u & kmask, k);
+      if (k) bw.put_bits(u[i] & kmask, k);
     }
   }
 }
@@ -1069,37 +1116,59 @@ bool encode_flac_block(FILE* f, const float* data, uint32_t bs, int channels,
   thread_local std::vector<std::vector<int64_t>> chan;
   if ((int)chan.size() < channels) chan.resize(channels);
   {
-    for (int c = 0; c < channels; ++c) {
-      chan[c].resize(bs);
-      for (uint32_t i = 0; i < bs; ++i) {
-        double v = data[(size_t)i * channels + c] * scale;
-        int64_t q = (int64_t)(v >= 0 ? v + 0.5 : v - 0.5);
-        chan[c][i] = q > lim ? lim : (q < -lim - 1 ? -lim - 1 : q);
-      }
-    }
     // stereo decorrelation: pick mid/side when its order-2 residual cost
     // beats the independent channels' (tape transfers are highly correlated)
     bool use_ms = false;
     thread_local std::vector<int64_t> mid, side;
     if (channels == 2 && bs > 4) {
+      // ONE fused pass: deinterleave+quantize both channels, fill mid/side,
+      // and accumulate all four order-2 residual costs in-flight — the old
+      // flow was seven passes over the block (2x quantize, mid/side fill,
+      // 4x cost scan).  Exact uint64 |residual| sums (a block of <=2^27
+      // residuals stays far below 2^64).
+      chan[0].resize(bs);
+      chan[1].resize(bs);
       mid.resize(bs);
       side.resize(bs);
-      for (uint32_t i = 0; i < bs; ++i) {
-        side[i] = chan[0][i] - chan[1][i];
-        mid[i] = (chan[0][i] + chan[1][i]) >> 1;
-      }
-      // exact uint64 |residual| sums (block of <=2^27 residuals stays far
-      // below 2^64); the previous long double accumulator serialized on x87
-      auto cost2 = [&](const std::vector<int64_t>& x) {
-        uint64_t c = 0;
-        for (uint32_t i = 2; i < bs; ++i) {
-          int64_t r = x[i] - 2 * x[i - 1] + x[i - 2];
-          c += r < 0 ? (uint64_t)(-r) : (uint64_t)r;
-        }
-        return c;
+      auto quant = [&](double v) {
+        int64_t q = (int64_t)(v >= 0 ? v + 0.5 : v - 0.5);
+        return q > lim ? lim : (q < -lim - 1 ? -lim - 1 : q);
       };
-      use_ms = cost2(mid) + cost2(side) <
-               cost2(chan[0]) + cost2(chan[1]);
+      auto uabs = [](int64_t v) { return v < 0 ? (uint64_t)(-v) : (uint64_t)v; };
+      uint64_t cl = 0, cr = 0, cm = 0, cs = 0;
+      // rolling registers for the order-2 windows (loading back the values
+      // just stored into chan/mid/side costs a store-forward stall per lane)
+      int64_t l1 = 0, l2 = 0, r1 = 0, r2 = 0, m1 = 0, m2 = 0, s1 = 0, s2 = 0;
+      for (uint32_t i = 0; i < bs; ++i) {
+        int64_t l = quant((double)data[(size_t)i * 2] * scale);
+        int64_t r = quant((double)data[(size_t)i * 2 + 1] * scale);
+        chan[0][i] = l;
+        chan[1][i] = r;
+        int64_t s = l - r;
+        int64_t m = (l + r) >> 1;
+        side[i] = s;
+        mid[i] = m;
+        if (i >= 2) {
+          cl += uabs(l - 2 * l1 + l2);
+          cr += uabs(r - 2 * r1 + r2);
+          cm += uabs(m - 2 * m1 + m2);
+          cs += uabs(s - 2 * s1 + s2);
+        }
+        l2 = l1; l1 = l;
+        r2 = r1; r1 = r;
+        m2 = m1; m1 = m;
+        s2 = s1; s1 = s;
+      }
+      use_ms = cm + cs < cl + cr;
+    } else {
+      for (int c = 0; c < channels; ++c) {
+        chan[c].resize(bs);
+        for (uint32_t i = 0; i < bs; ++i) {
+          double v = data[(size_t)i * channels + c] * scale;
+          int64_t q = (int64_t)(v >= 0 ? v + 0.5 : v - 0.5);
+          chan[c][i] = q > lim ? lim : (q < -lim - 1 ? -lim - 1 : q);
+        }
+      }
     }
     // reused across frames (capacity persists): worst realistic frame is
     // ~5 bytes/sample (raw escape at <=40 bits); typical rice frames less

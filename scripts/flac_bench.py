@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--level", type=int, default=1, choices=(0, 1),
                     help="FLAC preset: 0 fixed-only (fast), 1 +LPC (small)")
     ap.add_argument("--out", default="-")
+    ap.add_argument("--channels", type=int, default=2, choices=(1, 2),
+                    help="take shape; 2 matches the flagship stereo take "
+                         "(the source sample is mono — ch2 duplicates it "
+                         "at 0.8 gain like scripts/e2e_file_proof.py)")
     args = ap.parse_args()
 
     from pyaudiorestoration_tpu.utils import audio_io
@@ -48,7 +52,11 @@ def main():
     src = os.path.join(SAMPLES, "flutter_192.flac")
     sig, sr, _ = audio_io.read_file(src)
     reps = max(1, int(np.ceil(args.seconds * sr / len(sig))))
-    take = np.tile(sig, (reps, 1)).astype(np.float32)
+    mono = np.tile(sig[:, 0], reps)
+    if args.channels == 2:
+        take = np.stack([mono, mono * 0.8], axis=-1).astype(np.float32)
+    else:
+        take = mono[:, None].astype(np.float32)
     audio_s = len(take) / sr
     n_interleaved = take.size
 
