@@ -173,7 +173,8 @@ def _sinc_banded_blocks(sig, anchors, rel, fc, nt: int, drift: int, block: int):
 
 
 def sinc_resample(signal, sample_at, quality: int = 50, tile: int = 16384,
-                  block: int = 512, max_band_drift: int = 192):
+                  block: int = 512, max_band_drift: int = 192,
+                  device_out: bool = False):
     """Windowed-sinc resample of a 1D signal at float64 positions.
 
     ``quality`` is the reference's ``sinc_quality`` NT (resampling.py:21-27).
@@ -183,9 +184,17 @@ def sinc_resample(signal, sample_at, quality: int = 50, tile: int = 16384,
     bounded in-block excursion (speed curves near 1, lag curves), the
     gather-free banded kernel runs; otherwise (large resampling ratios) the
     tiled-gather kernel does.
+
+    ``device_out=True`` returns the jax device array instead of downloading —
+    for callers that feed the result straight into the next device op (e.g.
+    tapesynch's resample -> band-pass -> correlate chain, where a relay-class
+    link makes each intermediate host round trip cost ~1 s/MB).
     """
     n_out = len(sample_at)
-    signal = np.asarray(signal, dtype=np.float32)
+    if isinstance(signal, jax.Array):
+        signal = signal.astype(jnp.float32)  # already on device: no download
+    else:
+        signal = np.asarray(signal, dtype=np.float32)
     was_1d = signal.ndim == 1
     if was_1d:
         signal = signal[:, None]
@@ -217,7 +226,9 @@ def sinc_resample(signal, sample_at, quality: int = 50, tile: int = 16384,
         out = jax.vmap(
             lambda s: _sinc_banded_blocks(s, *args, int(quality), drift, int(block)),
             in_axes=1, out_axes=-1)(sig)
-        out = np.asarray(out).reshape(-1, sig.shape[1])[:n_out]
+        out = out.reshape(-1, sig.shape[1])[:n_out]
+        if not device_out:
+            out = np.asarray(out)
         return out[:, 0] if was_1d else out
 
     pad = (-n_out) % tile
@@ -228,7 +239,9 @@ def sinc_resample(signal, sample_at, quality: int = 50, tile: int = 16384,
     args = (jnp.asarray(ind), jnp.asarray(shift), jnp.asarray(fc))
     out = jax.vmap(lambda s: _sinc_device(s, *args, int(quality), int(tile)),
                    in_axes=1, out_axes=-1)(sig)
-    out = np.asarray(out[:n_out])
+    out = out[:n_out]
+    if not device_out:
+        out = np.asarray(out)
     return out[:, 0] if was_1d else out
 
 
@@ -261,21 +274,28 @@ def linear_resample(signal, sample_at):
     return np.asarray(out)
 
 
-def resample_ratio(signal, sr_from, sr_to, quality: int = 16, axis: int = 0):
+def resample_ratio(signal, sr_from, sr_to, quality: int = 16, axis: int = 0,
+                   device_out: bool = False):
     """Constant-ratio resampler (replaces resampy.resample usages).
 
     signal may be 1D or 2D; ``axis`` is the time axis.  All channels resample
     in a single vmapped device call (no per-channel host sync).
+    ``device_out=True`` keeps the result on device (see sinc_resample).
     """
-    signal = np.asarray(signal)
+    is_dev = isinstance(signal, jax.Array)
+    if not is_dev:
+        signal = np.asarray(signal)
     ratio = float(sr_from) / float(sr_to)
     n_out = int(round(signal.shape[axis] / ratio))
     sample_at = np.arange(n_out, dtype=np.float64) * ratio
     if signal.ndim == 1:
-        return sinc_resample(signal, sample_at, quality=quality)
-    moved = np.moveaxis(signal, axis, 0)
-    out = sinc_resample(moved, sample_at, quality=quality)
-    return np.moveaxis(out, 0, axis)
+        return sinc_resample(signal, sample_at, quality=quality,
+                             device_out=device_out)
+    xp = jnp if is_dev else np
+    moved = xp.moveaxis(signal, axis, 0)
+    out = sinc_resample(moved, sample_at, quality=quality,
+                        device_out=device_out)
+    return jnp.moveaxis(out, 0, axis) if device_out else np.moveaxis(out, 0, axis)
 
 
 def run(filenames, signal_data=None, speed_curve=None, resampling_mode="Linear",

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import logging
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..models import markers as mk
@@ -73,9 +74,10 @@ def correlate_sources(ref_signal, src_signal, sr, t0, t1, delay, lower, upper,
         src_sig = get_signal_around(src_signal, sr, t_center - delay, t_width)
     n = min(len(ref_sig), len(src_sig))
     # device scan IIR with defect refinement (>100 dB to scipy float64,
-    # ops/filters.py) — the host fallback is no longer needed here
-    a = np.asarray(filters.butter_bandpass_filter(ref_sig[:n], lower, upper, sr, order=3))
-    b = np.asarray(filters.butter_bandpass_filter(src_sig[:n], lower, upper, sr, order=3))
+    # ops/filters.py) — the host fallback is no longer needed here; the
+    # filtered windows stay on device for find_delay (no host round trip)
+    a = filters.butter_bandpass_filter(ref_sig[:n], lower, upper, sr, order=3)
+    b = filters.butter_bandpass_filter(src_sig[:n], lower, upper, sr, order=3)
     sample_delay, corr = correlation.find_delay(a, b, ignore_phase=ignore_phase,
                                                 window_name=window_name)
     return float(sample_delay) / sr * speed, float(corr)
@@ -117,8 +119,8 @@ def azimuth_sweep(ref_signal, src_signal, sr, t0, t1, lower, upper, lag_data,
                      for x in sample_times])
     srcs = np.stack([get_signal_around(src_signal, sr, x - d, dur)[:n_win]
                      for x, d in zip(sample_times, sample_lags)])
-    refs = _dsp_bandpass_rows(refs, lower, upper, sr)
-    srcs = _dsp_bandpass_rows(srcs, lower, upper, sr)
+    refs = _dsp_bandpass_rows(refs, lower, upper, sr, materialize=False)
+    srcs = _dsp_bandpass_rows(srcs, lower, upper, sr, materialize=False)
     delays, corrs = correlation.find_delay_batch(refs, srcs, ignore_phase=ignore_phase,
                                                  window_name="hann")
     lags = sample_lags + np.asarray(delays) / sr
@@ -136,8 +138,11 @@ def estimate_speed_ratio(ref_signal, src_signal, sr, fft_size=16384, f_lo=50.0, 
 
     def mean_logspec(sig):
         mono = sig[:, 0] if sig.ndim == 2 else sig
-        mag = np.asarray(fourier.get_mag(mono, fft_size, hop, "hann"))
-        return mag.mean(axis=1)
+        # frame-mean ON device: downloading only the (F,) average spectrum
+        # instead of the full (F, T) magnitude saves ~5 MB/signal of
+        # device->host traffic (a relay-class link moves ~1 MB/s)
+        mag = fourier.get_mag(mono, fft_size, hop, "hann")
+        return np.asarray(jnp.mean(mag, axis=1))
 
     a = mean_logspec(ref_signal)
     b = mean_logspec(src_signal)
@@ -169,6 +174,18 @@ def _fixed_window(signal, sr, t_start, length, channel=0):
     return np.pad(piece, (pad_l, pad_r))
 
 
+def _fixed_windows_device(sig_dev, sr, starts_s, length):
+    """Batched :func:`_fixed_window` sliced ON device from an already
+    uploaded mono signal: the host sends only the B start indices, not the
+    B x length window payloads (value-identical — same ``int(round(t*sr))``
+    indices, zeros outside the signal)."""
+    n = sig_dev.shape[0]
+    s0 = np.array([int(round(t * sr)) for t in starts_s], np.int32)
+    idx = jnp.asarray(s0)[:, None] + jnp.arange(length, dtype=jnp.int32)[None, :]
+    mask = (idx >= 0) & (idx < n)
+    return jnp.where(mask, sig_dev[jnp.clip(idx, 0, n - 1)], 0.0)
+
+
 def auto_align(ref_signal, src_signal, sr, num_windows=8, window_s=1.0,
                lower=100.0, upper=None, hop=64, smoothing=3, match_speed=True):
     """Headless end-to-end alignment: estimate the global speed offset, then
@@ -182,7 +199,16 @@ def auto_align(ref_signal, src_signal, sr, num_windows=8, window_s=1.0,
     seconds on the reference timeline.
     """
     upper = upper or sr / 4
-    ratio = estimate_speed_ratio(ref_signal, src_signal, sr) if match_speed else 1.0
+    # upload each mono signal ONCE; the ratio probe, window slicing,
+    # speed-resample, band-pass, and find_delay all consume the same device
+    # buffers — host<->device traffic for the whole align is the two signal
+    # uploads plus scalars (a relay-class link moves ~1 MB/s, so every
+    # avoided MB of window payload / spectrogram download is ~1 s)
+    ref_dev = jnp.asarray(ref_signal[:, 0] if ref_signal.ndim == 2
+                          else ref_signal, jnp.float32)
+    src_dev = jnp.asarray(src_signal[:, 0] if src_signal.ndim == 2
+                          else src_signal, jnp.float32)
+    ratio = estimate_speed_ratio(ref_dev, src_dev, sr) if match_speed else 1.0
     logging.info(f"Source speed ratio estimate: {ratio:.5f}")
     dur_ref = len(ref_signal) / sr
     centers = np.linspace(window_s, dur_ref - window_s, num_windows)
@@ -191,21 +217,25 @@ def auto_align(ref_signal, src_signal, sr, num_windows=8, window_s=1.0,
     lag_guess = centers - centers / ratio
     try:
         L = int(round(2 * window_s * sr))
-        refs = np.stack([_fixed_window(ref_signal, sr, t - window_s, L)
-                         for t in centers])
+        refs = _fixed_windows_device(ref_dev, sr,
+                                     [t - window_s for t in centers], L)
         if ratio != 1.0:
             Ls = int(round(2 * window_s / ratio * sr))
-            srcs = np.stack([
-                _fixed_window(src_signal, sr, t - d0 - window_s / ratio, Ls)
-                for t, d0 in zip(centers, lag_guess)])
-            # identical positions for every window -> one vmapped resample
-            srcs = resampling.resample_ratio(srcs.T, sr / ratio, sr, quality=8).T
+            srcs = _fixed_windows_device(
+                src_dev, sr,
+                [t - d0 - window_s / ratio
+                 for t, d0 in zip(centers, lag_guess)], Ls)
+            # identical positions for every window -> one vmapped resample;
+            # stays on device through the band-pass + find_delay chain below
+            srcs = resampling.resample_ratio(srcs.T, sr / ratio, sr,
+                                             quality=8, device_out=True).T
         else:
-            srcs = np.stack([_fixed_window(src_signal, sr, t - d0 - window_s, L)
-                             for t, d0 in zip(centers, lag_guess)])
+            srcs = _fixed_windows_device(
+                src_dev, sr,
+                [t - d0 - window_s for t, d0 in zip(centers, lag_guess)], L)
         n = min(refs.shape[1], srcs.shape[1])
-        a = _dsp_bandpass_rows(refs[:, :n], lower, upper, sr)
-        b = _dsp_bandpass_rows(srcs[:, :n], lower, upper, sr)
+        a = _dsp_bandpass_rows(refs[:, :n], lower, upper, sr, materialize=False)
+        b = _dsp_bandpass_rows(srcs[:, :n], lower, upper, sr, materialize=False)
         delays, corrs = correlation.find_delay_batch(a, b, window_name="hann")
         time_delays = np.asarray(delays) / sr * ratio
         corrs = np.asarray(corrs)
@@ -234,12 +264,13 @@ def auto_align(ref_signal, src_signal, sr, num_windows=8, window_s=1.0,
     return samples, data
 
 
-def _dsp_bandpass_rows(rows, lower, upper, sr):
+def _dsp_bandpass_rows(rows, lower, upper, sr, materialize=True):
     """Band-pass a (batch, n) stack along the last axis (device scan IIR
     with defect refinement — >100 dB to the scipy float64 oracle — one call
-    for the whole batch)."""
-    return np.asarray(filters.butter_bandpass_filter(
-        rows, lower, upper, sr, order=3))
+    for the whole batch).  ``materialize=False`` keeps the result on device
+    for a following device op (find_delay_batch)."""
+    out = filters.butter_bandpass_filter(rows, lower, upper, sr, order=3)
+    return np.asarray(out) if materialize else out
 
 
 def align_files(ref_path, src_path, out_suffix="", num_windows=8, window_s=1.0,
