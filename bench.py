@@ -12,14 +12,25 @@ Measures the device-resident restoration pipeline (STFT -> banded peak
 tracking -> speed curve -> dithered position plan -> windowed-sinc resample,
 pyaudiorestoration_tpu/pipelines/respeeder_device.py) on the BASELINE.json
 north-star workload: samples/flutter_192.flac tiled to a 30 s take.  The
-signal is uploaded once; the timed loop covers all device compute plus the
-per-take host position planning (the ~100 KB control-plane round trip).
+signal is uploaded once; every timed run covers the full device pipeline
+(single jit program) forced by a dependent scalar fetch.
 ``vs_baseline`` is value / 100 — the fraction of the >=100x-realtime target
 (the reference publishes no numbers, BASELINE.md).
 
-Note: this dev environment tunnels the TPU through a relay whose
-device->host bandwidth is ~1 MB/s; bulk output download is excluded here as
-an environment artifact (production PCIe moves the 23 MB result in ~10 ms).
+Measurement shape (round 5): this dev environment tunnels the TPU through a
+relay whose per-dispatch round trip measures ~23 ms (a bare
+``jnp.sum(x[:8])`` dispatch + scalar fetch times 22.8 ms) — LARGER than the
+single-take device step itself (~13-15 ms, at its derived speed-of-light
+floor, docs/BENCHMARKS.md).  A one-dispatch-one-fetch loop therefore times
+the tunnel, not the pipeline.  The headline ``value`` is the steady-state
+PIPELINED rate — K back-to-back dispatches whose outputs fold into one
+device scalar, fetched once; wall/K — which is also the production serving
+shape (takes stream through the chip; nothing serializes on a host fetch
+per take).  The serialized dispatch-fetch-dispatch number rides along as
+``x_realtime_serialized`` for comparability with rounds <= 4, whose
+headline was measured that way.  Bulk output download stays excluded as an
+environment artifact (production PCIe moves the 23 MB result in ~10 ms;
+this relay does ~1 MB/s).
 """
 
 import json
@@ -85,24 +96,49 @@ def main():
 
     backend = rdev._sinc_backend("auto")
 
-    def run():
-        padded = rdev.restore_fused_device(sig_dev, NLs, NUs, fft_size, hop, zp,
-                                           max_n, q, 16, backend=backend,
-                                           band=(NL - 1, NU + 1))
-        # a dependent scalar fetch forces execution (block_until_ready is a
-        # no-op through this environment's device relay)
-        return float(jnp.sum(padded))
+    def measure(dispatch, k_pipe, n_serial, n_sets):
+        """Time one tier both ways.
+
+        serialized: dispatch -> dependent scalar fetch, n_serial times, min.
+        pipelined:  k_pipe dispatches folding into one device scalar,
+                    fetched once (forces every run: the accumulated sum is
+                    data-dependent on all K outputs), wall/k_pipe; best of
+                    n_sets.  block_until_ready is a no-op through this
+                    relay, hence the dependent-fetch forcing everywhere.
+        """
+        serial = []
+        for _ in range(n_serial):
+            t0 = time.perf_counter()
+            float(jnp.sum(dispatch()))
+            serial.append(time.perf_counter() - t0)
+        # warm the tiny fold program (sum + add) outside the timed region
+        acc = jnp.float32(0.0)
+        for _ in range(2):
+            acc = acc + jnp.sum(dispatch())
+        float(acc)
+        pipe = []
+        checks = []
+        for _ in range(n_sets):
+            t0 = time.perf_counter()
+            acc = jnp.float32(0.0)
+            for _ in range(k_pipe):
+                acc = acc + jnp.sum(dispatch())
+            checks.append(float(acc))
+            pipe.append((time.perf_counter() - t0) / k_pipe)
+        return min(serial), serial, min(pipe), pipe, checks
+
+    def run_single():
+        return rdev.restore_fused_device(sig_dev, NLs, NUs, fft_size, hop, zp,
+                                         max_n, q, 16, backend=backend,
+                                         band=(NL - 1, NU + 1))
 
     t0 = time.perf_counter()
-    run()  # compile
+    float(jnp.sum(run_single()))  # compile
     cold = time.perf_counter() - t0
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-    wall = min(times)
-    rtf = audio_seconds / wall
+    s_wall, s_walls, p_wall, p_walls, _ = measure(run_single, k_pipe=16,
+                                                  n_serial=5, n_sets=2)
+    rtf = audio_seconds / p_wall
+    rtf_serial = audio_seconds / s_wall
 
     # ---- batch tier: 8 INDEPENDENT takes in one dispatch ----------------
     B = 8
@@ -114,40 +150,41 @@ def main():
     batch_audio_s = B * (takes.shape[1] / sr)
 
     def run_batch():
-        padded = rdev.restore_fused_takes(takes_dev, NLb, NUb, fft_size, hop,
-                                          zp, max_n, q, 16, backend=backend,
-                                          band=(NL - 1, NU + 1))
-        return float(jnp.sum(padded))
+        return rdev.restore_fused_takes(takes_dev, NLb, NUb, fft_size, hop,
+                                        zp, max_n, q, 16, backend=backend,
+                                        band=(NL - 1, NU + 1))
 
     t0 = time.perf_counter()
-    run_batch()  # compile
+    float(jnp.sum(run_batch()))  # compile
     batch_cold = time.perf_counter() - t0
-    batch_times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run_batch()
-        batch_times.append(time.perf_counter() - t0)
-    batch_rtf = batch_audio_s / min(batch_times)
+    bs_wall, bs_walls, bp_wall, bp_walls, _ = measure(run_batch, k_pipe=6,
+                                                      n_serial=3, n_sets=2)
+    batch_rtf = batch_audio_s / bp_wall
+    batch_rtf_serial = batch_audio_s / bs_wall
 
-    # the relay floor varies run to run (measured 550-600x); the headline is
-    # min-of-5 warm, and the full runs array + cold (compile-inclusive) wall
-    # ride along so BENCH_r*.json carries its own variance context
+    # the relay floor varies run to run; the headline is the best pipelined
+    # set, and the serialized walls + cold (compile-inclusive) wall ride
+    # along so BENCH_r*.json carries its own variance context
     print(json.dumps({
-        "metric": "192kHz stereo flutter-correction realtime factor (1 chip, device-resident)",
+        "metric": "192kHz stereo flutter-correction realtime factor (1 chip, device-resident, steady-state)",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 100.0, 3),
-        "runs_x_realtime": [round(audio_seconds / t, 1) for t in times],
+        "x_realtime_serialized": round(rtf_serial, 2),
+        "runs_serialized_x_realtime": [round(audio_seconds / t, 1) for t in s_walls],
+        "pipelined_sets_x_realtime": [round(audio_seconds / t, 1) for t in p_walls],
         "wall_cold_s": round(cold, 3),
         "audio_s": round(audio_seconds, 2),
         "batch8_x_realtime": round(batch_rtf, 2),
     }))
     print(json.dumps({
-        "metric": "8-take independent batch aggregate realtime factor (1 chip, restore_fused_takes)",
+        "metric": "8-take independent batch aggregate realtime factor (1 chip, restore_fused_takes, steady-state)",
         "value": round(batch_rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(batch_rtf / 100.0, 3),
-        "runs_x_realtime": [round(batch_audio_s / t, 1) for t in batch_times],
+        "x_realtime_serialized": round(batch_rtf_serial, 2),
+        "runs_serialized_x_realtime": [round(batch_audio_s / t, 1) for t in bs_walls],
+        "pipelined_sets_x_realtime": [round(batch_audio_s / t, 1) for t in bp_walls],
         "wall_cold_s": round(batch_cold, 3),
         "audio_s": round(batch_audio_s, 2),
     }))
